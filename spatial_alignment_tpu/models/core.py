@@ -1,0 +1,405 @@
+"""Pure-functional GPSA core: warp layer, data layer, ELBO.
+
+This replaces the reference's stateful ``VariationalGPSA.forward``/``loss_fn``
+(/root/reference/gpsa/models/vgpsa.py:212-540) with pure functions over a
+parameter pytree and a padded batch, designed so one ``jit`` compiles the
+entire training step — both GP layers, all S Monte-Carlo samples, the KL terms
+and the masked likelihood — into a single fused XLA graph:
+
+  * the reference's per-view Python loop (vgpsa.py:259-351) -> ``jax.vmap``
+    over a stacked (n_views, ...) axis; fixed-view passthrough (vgpsa.py:
+    262-273) becomes a ``jnp.where`` mask instead of control flow;
+  * the reference's per-sample loop (vgpsa.py:346-351) -> one batched
+    reparameterized draw with an (S, ...) noise tensor;
+  * ragged views/modalities -> static padded shapes with 0/1 masks applied
+    inside the likelihood sum (SURVEY.md §7 "hard parts").
+
+All matrix work (Gram construction, Cholesky, triangular solves, the S-batched
+Kuf tensor that dominates FLOPs at scale) is batched-first so XLA tiles it
+onto the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.kernels import get_kernel
+from ..ops.linalg import add_jitter, cholesky_solve, kl_mvn_chol, safe_cholesky
+from .spec import ModelSpec
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+class WarpAux(NamedTuple):
+    """Intermediates from the warp layer needed by the KL term."""
+
+    Kuu_chol: jnp.ndarray  # (V, m_X, m_X)
+    Omega_tril: jnp.ndarray  # (V, D, m_X, m_X)
+    mu_z: jnp.ndarray  # (V, m_X, D)
+
+
+class DataAux(NamedTuple):
+    """Intermediates from the data layer needed by the KL term / imputation."""
+
+    Kuu_chol: jnp.ndarray  # (m_G, m_G)
+    Omega_tril: Dict[str, jnp.ndarray]  # {mod: (L, m_G, m_G)}
+
+
+class ForwardResult(NamedTuple):
+    G_means: Dict[str, jnp.ndarray]  # {mod: (V, Np, D)}
+    G_samples: Dict[str, jnp.ndarray]  # {mod: (S, V, Np, D)}
+    F_latent_samples: Dict[str, jnp.ndarray]  # {mod: (S, V, Np, L)}
+    F_observed_samples: Dict[str, jnp.ndarray]  # {mod: (S, V, Np, P)}
+    warp_aux: WarpAux
+    data_aux: DataAux
+    F_latent_samples_test: Optional[Dict[str, jnp.ndarray]] = None
+    F_observed_samples_test: Optional[Dict[str, jnp.ndarray]] = None
+
+
+# ---------------------------------------------------------------------------
+# SVGP predictive: mean and diagonal variance (parity: vgpsa.py:174-204)
+# ---------------------------------------------------------------------------
+
+
+def svgp_mean_var(
+    kff_diag: jnp.ndarray,  # (..., N)
+    Kuf: jnp.ndarray,  # (..., m, N)
+    Kuu_chol: jnp.ndarray,  # (m, m) or batched
+    mu_x: jnp.ndarray,  # (..., N, C)
+    mu_z: jnp.ndarray,  # (m, C)
+    delta: jnp.ndarray,  # (m, C)
+    Omega_tril: jnp.ndarray,  # (B, m, m) — per output-channel covariance factors
+    diagonal_offset: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whitened SVGP marginal posterior at the Kuf columns.
+
+    Returns mu_tilde (..., N, C) and Sigma_tilde (..., B, N) where B indexes
+    the Omega batch (spatial dims for the warp layer, latent GPs for the data
+    layer). Matches the reference's double jitter add (vgpsa.py:191-204).
+    """
+    alpha = cholesky_solve(Kuu_chol, Kuf)  # (..., m, N)
+    alphaT = jnp.swapaxes(alpha, -1, -2)  # (..., N, m)
+    # diag(Kfu Kuu^-1 Kuf) via the factored form
+    a_t_K = alphaT @ Kuu_chol
+    aKa = jnp.sum(jnp.square(a_t_K), axis=-1)  # (..., N)
+    mu_tilde = mu_x + alphaT @ (delta - mu_z)  # (..., N, C)
+    # per-channel: alpha^T Omega_tril, batched over B
+    a_t_Om = jnp.expand_dims(alphaT, -3) @ Omega_tril  # (..., B, N, m)
+    aOa = jnp.sum(jnp.square(a_t_Om), axis=-1)  # (..., B, N)
+    sigma = (
+        jnp.expand_dims(kff_diag, -2)
+        - jnp.expand_dims(aKa, -2)
+        + aOa
+        + 2.0 * diagonal_offset
+    )
+    return mu_tilde, sigma
+
+
+# ---------------------------------------------------------------------------
+# Warp layer
+# ---------------------------------------------------------------------------
+
+
+def _concat_modalities(spec: ModelSpec, batch: Dict[str, Dict[str, jnp.ndarray]]):
+    """Stack per-modality padded arrays along the point axis: (V, Ntot, ...)."""
+    coords = jnp.concatenate([batch[m]["coords"] for m in spec.modality_names], axis=1)
+    mask = jnp.concatenate([batch[m]["mask"] for m in spec.modality_names], axis=1)
+    return coords, mask
+
+
+def _split_modalities(spec: ModelSpec, arr: jnp.ndarray, axis: int):
+    """Inverse of _concat_modalities along the given axis (static slices)."""
+    sizes = [m.n_padded for m in spec.modalities]
+    pieces = {}
+    off = 0
+    for mod, size in zip(spec.modalities, sizes):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(off, off + size)
+        pieces[mod.name] = arr[tuple(idx)]
+        off += size
+    return pieces
+
+
+def warp_layer(
+    spec: ModelSpec,
+    hp: dict,
+    X_all: jnp.ndarray,  # (V, Ntot, D) padded observed coords
+    key: jax.Array,
+    S: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, WarpAux]:
+    """Per-view warp GP posterior + S reparameterized samples.
+
+    Returns (G_mean (V, Ntot, D), G_samples (S, V, Ntot, D), aux).
+    Vectorized replacement for the reference view loop (vgpsa.py:259-351).
+    """
+    kern = get_kernel(spec.kernel_warp)
+    eps = spec.diagonal_offset
+
+    def one_view(Xt, Xv, ls, var, slope, intercept, Om_sqt, delta):
+        Kuu = add_jitter(kern(Xt, Xt, ls, var), eps)
+        L = safe_cholesky(Kuu)
+        Kuf = kern(Xt, Xv, ls, var)  # (m, Ntot)
+        mu_x = Xv @ slope + intercept  # (Ntot, D)
+        mu_z = Xt @ slope + intercept  # (m, D)
+        kff = jnp.exp(var) * jnp.ones(Xv.shape[0], Xv.dtype)  # vgpsa.py:310-312
+        Omega = add_jitter(Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps)  # (D, m, m)
+        Om_tril = safe_cholesky(Omega)
+        mu_t, sig = svgp_mean_var(kff, Kuf, L, mu_x, mu_z, delta, Om_tril, eps)
+        return mu_t, sig, L, Om_tril, mu_z
+
+    mu_tilde, sigma, Kuu_chol, Om_tril, mu_z = jax.vmap(one_view)(
+        hp["Xtilde"],
+        X_all,
+        hp["warp_kernel_lengthscales"],
+        hp["warp_kernel_variances"],
+        hp["mean_slopes"],
+        hp["mean_intercepts"],
+        hp["Omega_sqt_G"],
+        hp["delta_G"],
+    )
+    # mu_tilde: (V, Ntot, D); sigma: (V, D, Ntot) -> (V, Ntot, D)
+    sigma = jnp.swapaxes(sigma, -1, -2)
+
+    if spec.reference_sample_scale:
+        # Reference passes the variance straight to Normal(scale=...)
+        # (vgpsa.py:334-340); opt-in for strict behavioral parity.
+        scale = sigma
+    else:
+        scale = jnp.sqrt(jnp.maximum(sigma, 0.0))
+
+    noise = jax.random.normal(key, (S,) + mu_tilde.shape, mu_tilde.dtype)
+    samples = mu_tilde[None] + scale[None] * noise  # (S, V, Ntot, D)
+
+    if spec.any_fixed_view:
+        fixed = jnp.asarray(spec.fixed_view_mask)[:, None, None]
+        mu_tilde = jnp.where(fixed, X_all, mu_tilde)
+        samples = jnp.where(fixed[None], X_all[None], samples)
+
+    return mu_tilde, samples, WarpAux(Kuu_chol, Om_tril, mu_z)
+
+
+# ---------------------------------------------------------------------------
+# Data layer
+# ---------------------------------------------------------------------------
+
+
+def data_layer(
+    spec: ModelSpec,
+    hp: dict,
+    G_samples: Dict[str, jnp.ndarray],  # {mod: (S, V, Np, D)}
+    key: jax.Array,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], DataAux]:
+    """Multi-output data GP evaluated at the sampled aligned coordinates.
+
+    Batched over S and (statically) over modalities; replaces vgpsa.py:353-477.
+    """
+    kern = get_kernel(spec.kernel_data)
+    eps = spec.diagonal_offset
+    ls = hp["data_kernel_lengthscale"]
+    var = hp["data_kernel_variance"]
+
+    Kuu = add_jitter(kern(hp["Gtilde"], hp["Gtilde"], ls, var), eps)
+    L_F = safe_cholesky(Kuu)
+
+    F_latent, F_obs, Om_tril_F = {}, {}, {}
+    keys = jax.random.split(key, spec.n_modalities)
+    for kk, mod in zip(keys, spec.modalities):
+        S, V, Np, D = G_samples[mod.name].shape
+        G = G_samples[mod.name].reshape(S, V * Np, D)
+        Kuf = kern(hp["Gtilde"][None], G, ls, var)  # (S, m_G, N)
+        kff = jnp.exp(var) * jnp.ones((S, V * Np), G.dtype)  # vgpsa.py:405-407
+        Om_sqt = hp["Omega_sqt_F"][mod.name]
+        Omega = add_jitter(Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps)
+        Om_tril = safe_cholesky(Omega)  # (L, m_G, m_G)
+        delta = hp["delta_F"][mod.name]  # (m_G, L)
+        mu_t, sig = svgp_mean_var(
+            kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps
+        )
+        # mu_t: (S, N, L); sig: (S, L, N)
+        noise = jax.random.normal(kk, mu_t.shape, mu_t.dtype)
+        lat = mu_t + jnp.sqrt(jnp.maximum(jnp.swapaxes(sig, -1, -2), 0.0)) * noise
+        obs = lat @ hp["W"][mod.name] if mod.use_lmc else lat
+        F_latent[mod.name] = lat.reshape(S, V, Np, mod.n_latent)
+        F_obs[mod.name] = obs.reshape(S, V, Np, mod.n_outputs)
+        Om_tril_F[mod.name] = Om_tril
+
+    return F_latent, F_obs, DataAux(L_F, Om_tril_F)
+
+
+def impute_at(
+    spec: ModelSpec,
+    hp: dict,
+    data_aux: DataAux,
+    G_test: Dict[str, jnp.ndarray],  # {mod: (n_test, D)}
+    key: jax.Array,
+    S: int,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Impute outputs at caller-chosen aligned coordinates (vgpsa.py:438-477).
+
+    Used for common-coordinate reconstruction (e.g. a dense 3-D grid,
+    st_alignment_3d_round2.py:250-301). Returns S samples per test point
+    (the reference effectively returns one; S here is a strict superset —
+    downstream ``.mean(axis=0)`` works identically).
+    """
+    kern = get_kernel(spec.kernel_data)
+    eps = spec.diagonal_offset
+    ls = hp["data_kernel_lengthscale"]
+    var = hp["data_kernel_variance"]
+
+    F_latent_t, F_obs_t = {}, {}
+    keys = jax.random.split(key, spec.n_modalities)
+    for kk, mod in zip(keys, spec.modalities):
+        Gt = jnp.asarray(G_test[mod.name])
+        if Gt.ndim == 3:  # accept the reference's (1, n_test, D) convention
+            Gt = Gt[0]
+        Kuf = kern(hp["Gtilde"], Gt, ls, var)  # (m_G, n_test)
+        kff = jnp.exp(var) * jnp.ones(Gt.shape[0], Gt.dtype)
+        delta = hp["delta_F"][mod.name]
+        mu_t, sig = svgp_mean_var(
+            kff,
+            Kuf,
+            data_aux.Kuu_chol,
+            jnp.zeros(()),
+            jnp.zeros(()),
+            delta,
+            data_aux.Omega_tril[mod.name],
+            eps,
+        )
+        # mu_t: (n_test, L); sig: (L, n_test)
+        noise = jax.random.normal(kk, (S,) + mu_t.shape, mu_t.dtype)
+        lat = mu_t[None] + jnp.sqrt(jnp.maximum(jnp.swapaxes(sig, -1, -2), 0.0))[None] * noise
+        obs = lat @ hp["W"][mod.name] if mod.use_lmc else lat
+        F_latent_t[mod.name] = lat
+        F_obs_t[mod.name] = obs
+    return F_latent_t, F_obs_t
+
+
+# ---------------------------------------------------------------------------
+# Forward + ELBO
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    spec: ModelSpec,
+    hp: dict,
+    batch: Dict[str, Dict[str, jnp.ndarray]],
+    key: jax.Array,
+    S: int = 1,
+    G_test: Optional[Dict[str, jnp.ndarray]] = None,
+) -> ForwardResult:
+    """Full two-layer forward pass (parity: vgpsa.py:212-489).
+
+    Runs under matmul precision "highest": on TPU the default bf16 MXU passes
+    lose ~1e-2 relative accuracy, which destroys the PSD-ness of the jittered
+    (1e-5) Gram matrices and NaNs the Cholesky. The model's matrices are small
+    (m ~ 25-200), so full-f32 MXU passes cost nothing measurable.
+    """
+    with jax.default_matmul_precision("highest"):
+        k_warp, k_data, k_test = jax.random.split(key, 3)
+        X_all, _ = _concat_modalities(spec, batch)
+        G_mean_all, G_sample_all, warp_aux = warp_layer(spec, hp, X_all, k_warp, S)
+        G_means = _split_modalities(spec, G_mean_all, axis=1)
+        G_samples = _split_modalities(spec, G_sample_all, axis=2)
+        F_latent, F_obs, data_aux = data_layer(spec, hp, G_samples, k_data)
+
+        F_latent_t = F_obs_t = None
+        if G_test is not None:
+            F_latent_t, F_obs_t = impute_at(spec, hp, data_aux, G_test, k_test, S)
+
+    return ForwardResult(
+        G_means, G_samples, F_latent, F_obs, warp_aux, data_aux, F_latent_t, F_obs_t
+    )
+
+
+def gaussian_loglik_sum(
+    y: jnp.ndarray, f: jnp.ndarray, scale: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Masked sum of Normal(f, scale).log_prob(y); f is (S, ...), y (...)."""
+    log_prob = (
+        -0.5 * jnp.square((y[None] - f) / scale)
+        - jnp.log(scale)
+        - 0.5 * _LOG_2PI
+    )
+    return jnp.sum(log_prob * mask[None, ..., None])
+
+
+def kl_divergence(
+    spec: ModelSpec, hp: dict, warp_aux: WarpAux, data_aux: DataAux
+) -> jnp.ndarray:
+    """Total KL over warp and data variational posteriors (vgpsa.py:498-530)."""
+    # Warp posteriors, masked over fixed views (vgpsa.py:498-516)
+    mu_q = jnp.swapaxes(hp["delta_G"], -1, -2)  # (V, D, m)
+    mu_p = jnp.swapaxes(warp_aux.mu_z, -1, -2)  # (V, D, m)
+    kl_G = kl_mvn_chol(
+        mu_q, warp_aux.Omega_tril, mu_p, warp_aux.Kuu_chol[:, None]
+    )  # (V, D)
+    not_fixed = 1.0 - jnp.asarray(spec.fixed_view_mask, kl_G.dtype)
+    KL = jnp.sum(kl_G * not_fixed[:, None])
+
+    # Data posteriors, batched over latent GPs (vgpsa.py:520-530)
+    for mod in spec.modalities:
+        delta = hp["delta_F"][mod.name]  # (m_G, L)
+        kl_F = kl_mvn_chol(
+            jnp.swapaxes(delta, -1, -2),
+            data_aux.Omega_tril[mod.name],
+            jnp.zeros(spec.m_G, delta.dtype),
+            data_aux.Kuu_chol,
+        )
+        KL = KL + jnp.sum(kl_F)
+    return KL
+
+
+def elbo_terms(
+    spec: ModelSpec,
+    hp: dict,
+    batch: Dict[str, Dict[str, jnp.ndarray]],
+    result: ForwardResult,
+    S: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(expected log-likelihood, KL divergence) — parity: vgpsa.py:491-540."""
+    KL = kl_divergence(spec, hp, result.warp_aux, result.data_aux)
+
+    # Masked Gaussian likelihood (vgpsa.py:532-538). Reference quirk kept:
+    # exp(noise_variance) + offset is used directly as the Normal *scale*.
+    noise_pos = jnp.exp(hp["noise_variance"]) + spec.diagonal_offset
+    LL = jnp.zeros(())
+    for mm, mod in enumerate(spec.modalities):
+        scale = noise_pos[-spec.n_modalities + mm]
+        LL = LL + (
+            gaussian_loglik_sum(
+                batch[mod.name]["outputs"],
+                result.F_observed_samples[mod.name],
+                scale,
+                batch[mod.name]["mask"],
+            )
+            / S
+        )
+    return LL, KL
+
+
+def negative_elbo(
+    spec: ModelSpec,
+    params: dict,
+    consts: dict,
+    batch: Dict[str, Dict[str, jnp.ndarray]],
+    key: jax.Array,
+    S: int,
+) -> jnp.ndarray:
+    """The training loss: -E[log p(y|f)] + KL (vgpsa.py:540). One jittable fn."""
+    hp = dict(consts)
+    hp.update(params)
+    with jax.default_matmul_precision("highest"):
+        result = forward(spec, hp, batch, key, S)
+        LL, KL = elbo_terms(spec, hp, batch, result, S)
+        return -LL + KL
+
+
+def mean_penalty(spec: ModelSpec, hp: dict) -> jnp.ndarray:
+    """Parity with gpsa.py:185-191 (defined but never added to the loss in the
+    reference; kept for API completeness)."""
+    eye = jnp.eye(spec.n_spatial_dims, dtype=hp["mean_slopes"].dtype)
+    return spec.mean_penalty_param * jnp.mean(jnp.square(hp["mean_slopes"] - eye))

@@ -1,0 +1,260 @@
+"""Static model specification and padded data layout.
+
+The reference keeps data as a dict of ragged, concatenated-per-view arrays and
+drives the model with host-side index lists (``create_view_idx_dict``,
+/root/reference/gpsa/models/gpsa.py:155-183). Under XLA everything must be
+static-shaped, so the TPU-native layout is *stacked and masked*:
+
+  per modality:  coords  (n_views, N_pad, D)
+                 outputs (n_views, N_pad, P)
+                 mask    (n_views, N_pad)        1.0 = real point, 0.0 = pad
+
+``ModelSpec`` carries every shape/flag that must be known at trace time and is
+hashable so jitted functions can close over it as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class ModalitySpec:
+    """Static shape info for one modality (e.g. "expression", "histology")."""
+
+    name: str
+    n_padded: int  # per-view padded point count
+    n_outputs: int  # P
+    n_latent: int  # L: n_latent_gps if LMC enabled, else P
+    use_lmc: bool
+    n_samples: Tuple[int, ...]  # true per-view counts (host bookkeeping)
+
+    @property
+    def n_total(self) -> int:
+        return int(sum(self.n_samples))
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Everything the traced functions need to know statically.
+
+    Mirrors the constructor surface of the reference ``VariationalGPSA``
+    (/root/reference/gpsa/models/vgpsa.py:15-59) minus the learned state.
+    """
+
+    modalities: Tuple[ModalitySpec, ...]
+    n_views: int
+    n_spatial_dims: int
+    m_X_per_view: int
+    m_G: int
+    kernel_warp: str = "rbf"
+    kernel_data: str = "rbf"
+    mean_function: str = "identity_fixed"
+    n_noise_variance_params: int = 2
+    fixed_view_mask: Tuple[bool, ...] = ()
+    # Which hyperparameters are frozen (moved to the non-trainable pytree):
+    fixed_warp_kernel_variances: bool = False
+    fixed_warp_kernel_lengthscales: bool = False
+    fixed_data_kernel_lengthscales: bool = False
+    diagonal_offset: float = 1e-5
+    # Reference-parity switch: vgpsa.py:334-340 passes the marginal *variance*
+    # as the Normal scale when sampling warp coordinates. Default False =
+    # mathematically-correct sqrt(variance); True replicates the reference.
+    reference_sample_scale: bool = False
+    mean_penalty_param: float = 0.0
+
+    # ---- derived helpers -------------------------------------------------
+    @property
+    def modality_names(self) -> Tuple[str, ...]:
+        return tuple(m.name for m in self.modalities)
+
+    @property
+    def n_modalities(self) -> int:
+        return len(self.modalities)
+
+    def modality(self, name: str) -> ModalitySpec:
+        for m in self.modalities:
+            if m.name == name:
+                return m
+        raise KeyError(name)
+
+    @property
+    def any_fixed_view(self) -> bool:
+        return any(self.fixed_view_mask)
+
+    def replace(self, **kw) -> "ModelSpec":
+        return dataclasses.replace(self, **kw)
+
+
+def _as_numpy(x) -> np.ndarray:
+    """Accept numpy / jax / torch-cpu arrays."""
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def build_spec(
+    data_dict: Dict[str, dict],
+    *,
+    m_X_per_view: int,
+    m_G: int,
+    n_latent_gps: Optional[Dict[str, Optional[int]]] = None,
+    kernel_warp: str = "rbf",
+    kernel_data: str = "rbf",
+    mean_function: str = "identity_fixed",
+    n_noise_variance_params: int = 2,
+    fixed_view_idx=None,
+    fixed_warp_kernel_variances=None,
+    fixed_warp_kernel_lengthscales=None,
+    fixed_data_kernel_lengthscales=None,
+    diagonal_offset: float = 1e-5,
+    reference_sample_scale: bool = False,
+    mean_penalty_param: float = 0.0,
+    pad_multiple: int = 1,
+) -> ModelSpec:
+    """Derive a ModelSpec from a reference-format data_dict.
+
+    Validation parity: all modalities must share n_views and n_spatial_dims
+    (/root/reference/gpsa/models/gpsa.py:45-68). ``n_spatial_dims`` is derived
+    from the data (the reference's constructor arg is swallowed; SURVEY.md
+    §2.4.5 — we reproduce the effective, shape-driven behavior).
+
+    ``pad_multiple`` rounds each modality's padded per-view size up to a
+    multiple (used to make the point axis shardable over a device mesh).
+    """
+    names = list(data_dict.keys())
+    n_views_set = {len(data_dict[m]["n_samples_list"]) for m in names}
+    if len(n_views_set) != 1:
+        raise ValueError("Each modality must have the same number of views.")
+    n_views = n_views_set.pop()
+
+    dims = {_as_numpy(data_dict[m]["spatial_coords"]).shape[1] for m in names}
+    if len(dims) != 1:
+        raise ValueError("Each modality must have the same number of spatial dimensions.")
+    n_spatial_dims = dims.pop()
+
+    if n_latent_gps is None:
+        n_latent_gps = {m: None for m in names}
+
+    modalities = []
+    for name in names:
+        entry = data_dict[name]
+        counts = tuple(int(c) for c in entry["n_samples_list"])
+        P = int(_as_numpy(entry["outputs"]).shape[1])
+        L_cfg = n_latent_gps.get(name)
+        use_lmc = L_cfg is not None
+        L = int(L_cfg) if use_lmc else P
+        n_pad = max(max(counts), 1)
+        if pad_multiple > 1:
+            n_pad = int(-(-n_pad // pad_multiple) * pad_multiple)
+        modalities.append(
+            ModalitySpec(
+                name=name,
+                n_padded=n_pad,
+                n_outputs=P,
+                n_latent=L,
+                use_lmc=use_lmc,
+                n_samples=counts,
+            )
+        )
+
+    if fixed_view_idx is None:
+        fixed = tuple(False for _ in range(n_views))
+    else:
+        idxs = (
+            set(int(i) for i in fixed_view_idx)
+            if isinstance(fixed_view_idx, (list, tuple, set, np.ndarray))
+            else {int(fixed_view_idx)}
+        )
+        fixed = tuple(v in idxs for v in range(n_views))
+
+    return ModelSpec(
+        modalities=tuple(modalities),
+        n_views=n_views,
+        n_spatial_dims=n_spatial_dims,
+        m_X_per_view=m_X_per_view,
+        m_G=m_G,
+        kernel_warp=kernel_warp,
+        kernel_data=kernel_data,
+        mean_function=mean_function,
+        n_noise_variance_params=n_noise_variance_params,
+        fixed_view_mask=fixed,
+        fixed_warp_kernel_variances=fixed_warp_kernel_variances is not None,
+        fixed_warp_kernel_lengthscales=fixed_warp_kernel_lengthscales is not None,
+        fixed_data_kernel_lengthscales=fixed_data_kernel_lengthscales is not None,
+        diagonal_offset=diagonal_offset,
+        reference_sample_scale=reference_sample_scale,
+        mean_penalty_param=mean_penalty_param,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing between the reference layout and the padded layout
+# ---------------------------------------------------------------------------
+
+
+def view_slices(counts: Sequence[int]) -> list:
+    """Per-view [start, stop) into the concatenated axis (reference layout)."""
+    cs = np.insert(np.cumsum(counts), 0, 0)
+    return [(int(cs[i]), int(cs[i + 1])) for i in range(len(counts))]
+
+
+def create_view_idx_dict(spec: ModelSpec):
+    """Reference-parity bookkeeping (gpsa.py:155-183): view_idx, Ns, Ps, n_total."""
+    view_idx, Ns, Ps = {}, {}, {}
+    n_total = 0
+    for mod in spec.modalities:
+        slices = view_slices(mod.n_samples)
+        view_idx[mod.name] = [np.arange(lo, hi) for lo, hi in slices]
+        Ns[mod.name] = int(sum(mod.n_samples))
+        Ps[mod.name] = mod.n_outputs
+        n_total += Ns[mod.name]
+    return view_idx, Ns, Ps, n_total
+
+
+def pack_coords(spec: ModelSpec, X_spatial: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Concatenated (N_mod, D) coords -> padded (V, N_pad, D) per modality."""
+    out = {}
+    for mod in spec.modalities:
+        x = _as_numpy(X_spatial[mod.name]).astype(np.float32)
+        padded = np.zeros((spec.n_views, mod.n_padded, spec.n_spatial_dims), np.float32)
+        for v, (lo, hi) in enumerate(view_slices(mod.n_samples)):
+            padded[v, : hi - lo] = x[lo:hi]
+        out[mod.name] = jnp.asarray(padded)
+    return out
+
+
+def pack_batch(spec: ModelSpec, data_dict: Dict[str, dict]) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Full padded batch: coords, outputs, mask per modality."""
+    batch = {}
+    coords = pack_coords(
+        spec, {m: data_dict[m]["spatial_coords"] for m in spec.modality_names}
+    )
+    for mod in spec.modalities:
+        y = _as_numpy(data_dict[mod.name]["outputs"]).astype(np.float32)
+        y_pad = np.zeros((spec.n_views, mod.n_padded, mod.n_outputs), np.float32)
+        mask = np.zeros((spec.n_views, mod.n_padded), np.float32)
+        for v, (lo, hi) in enumerate(view_slices(mod.n_samples)):
+            y_pad[v, : hi - lo] = y[lo:hi]
+            mask[v, : hi - lo] = 1.0
+        batch[mod.name] = {
+            "coords": coords[mod.name],
+            "outputs": jnp.asarray(y_pad),
+            "mask": jnp.asarray(mask),
+        }
+    return batch
+
+
+def unpack_points(spec: ModelSpec, mod_name: str, arr) -> np.ndarray:
+    """Padded (..., V, N_pad, C) -> reference concatenated (..., N_mod, C)."""
+    mod = spec.modality(mod_name)
+    arr = np.asarray(arr)
+    pieces = [
+        arr[..., v, : mod.n_samples[v], :] for v in range(spec.n_views)
+    ]
+    return np.concatenate(pieces, axis=-2)

@@ -1,0 +1,381 @@
+"""`VariationalGPSA` — the user-facing model, API-compatible with the
+reference (/root/reference/gpsa/models/vgpsa.py:14-540) but built as a thin
+stateful shell around the pure-functional core:
+
+  * construction = derive a static ``ModelSpec`` + initialize a parameter
+    pytree (host-side k-means, sklearn, like vgpsa.py:61-92);
+  * ``forward`` / ``loss_fn`` keep the reference's call contract
+    (README.md:49-134, examples/grid_example.py:62-78) and return arrays in
+    the reference's concatenated-per-view layout;
+  * the hot path is ``make_train_step`` / ``fit``: one jitted
+    value-and-grad + Adam update over the whole ELBO graph.
+
+Semantic divergences from the reference (all documented in SURVEY.md §2.4 and
+deliberate):
+  - warp samples use sqrt(variance) as the Normal scale unless
+    ``reference_sample_scale=True`` (vgpsa.py:334-340 bug);
+  - Omega_sqt_G uses one consistent (view, dim) layout (vgpsa.py:142 vs 336);
+  - the fixed view's unread ``mu_z *= 100`` (vgpsa.py:230-235) and the dead
+    ``minmax_init`` / ``mean_penalty`` options are not replicated;
+  - no global autograd anomaly mode (vgpsa.py:9).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.kernels import kernel_name, rbf_kernel
+from . import core
+from .params import init_params, merge_hyperparams
+from .spec import (
+    ModelSpec,
+    build_spec,
+    create_view_idx_dict,
+    pack_batch,
+    pack_coords,
+    unpack_points,
+    view_slices,
+    _as_numpy,
+)
+
+
+@partial(jax.jit, static_argnames=("spec", "S"))
+def _jit_neg_elbo(spec, params, consts, batch, key, S):
+    return core.negative_elbo(spec, params, consts, batch, key, S)
+
+
+@partial(jax.jit, static_argnames=("spec", "S", "with_test"))
+def _jit_forward(spec, hp, batch, key, S, G_test=None, with_test=False):
+    return core.forward(spec, hp, batch, key, S, G_test=G_test if with_test else None)
+
+
+class VariationalGPSA:
+    """Deep-GP spatial alignment model (TPU-native rebuild of reference GPSA)."""
+
+    def __init__(
+        self,
+        data_dict: Dict[str, dict],
+        m_X_per_view: int,
+        m_G: int,
+        data_init: bool = True,
+        minmax_init: bool = False,  # accepted-but-dead in the reference (vgpsa.py:21)
+        grid_init: bool = False,
+        n_spatial_dims: int = 2,  # derived from data, kept for signature parity
+        n_noise_variance_params: int = 2,
+        kernel_func_warp="rbf",
+        kernel_func_data="rbf",
+        n_latent_gps: Optional[Dict[str, Optional[int]]] = None,
+        mean_function: str = "identity_fixed",
+        mean_penalty_param: float = 0.0,
+        fixed_warp_kernel_variances=None,
+        fixed_warp_kernel_lengthscales=None,
+        fixed_data_kernel_lengthscales=None,
+        fixed_view_idx=None,
+        *,
+        seed: int = 0,
+        reference_sample_scale: bool = False,
+        diagonal_offset: float = 1e-5,
+        pad_multiple: int = 1,
+    ):
+        del n_spatial_dims, minmax_init  # shape-driven / dead (SURVEY.md §2.4.5-6)
+        spec = build_spec(
+            data_dict,
+            m_X_per_view=m_X_per_view,
+            m_G=m_G,
+            n_latent_gps=n_latent_gps,
+            kernel_warp=kernel_name(kernel_func_warp),
+            kernel_data=kernel_name(kernel_func_data),
+            mean_function=mean_function,
+            n_noise_variance_params=n_noise_variance_params,
+            fixed_view_idx=fixed_view_idx,
+            fixed_warp_kernel_variances=fixed_warp_kernel_variances,
+            fixed_warp_kernel_lengthscales=fixed_warp_kernel_lengthscales,
+            fixed_data_kernel_lengthscales=fixed_data_kernel_lengthscales,
+            diagonal_offset=diagonal_offset,
+            reference_sample_scale=reference_sample_scale,
+            mean_penalty_param=mean_penalty_param,
+            pad_multiple=pad_multiple,
+        )
+        self.params, self.consts, self.spec = init_params(
+            spec,
+            data_dict,
+            data_init=data_init,
+            grid_init=grid_init,
+            seed=seed,
+            fixed_warp_kernel_variances=fixed_warp_kernel_variances,
+            fixed_warp_kernel_lengthscales=fixed_warp_kernel_lengthscales,
+            fixed_data_kernel_lengthscales=fixed_data_kernel_lengthscales,
+        )
+        self._key = jax.random.PRNGKey(seed)
+        self._batch = pack_batch(self.spec, data_dict)
+        self._last_aux = None  # (hp, warp_aux, data_aux) from the last forward
+
+        # Reference-parity bookkeeping attributes (used by plotting callbacks)
+        self.fixed_view_idx = fixed_view_idx
+        vi, Ns, Ps, n_total = create_view_idx_dict(self.spec)
+        self.view_idx, self.Ns, self.Ps, self.n_total = vi, Ns, Ps, n_total
+        self.n_latent_gps = (
+            n_latent_gps
+            if n_latent_gps is not None
+            else {m: None for m in self.spec.modality_names}
+        )
+
+    # ------------------------------------------------------------------
+    # Reference-parity surface
+    # ------------------------------------------------------------------
+    @property
+    def n_views(self) -> int:
+        return self.spec.n_views
+
+    @property
+    def n_spatial_dims(self) -> int:
+        return self.spec.n_spatial_dims
+
+    @property
+    def modality_names(self):
+        return list(self.spec.modality_names)
+
+    @property
+    def m_X_per_view(self) -> int:
+        return self.spec.m_X_per_view
+
+    @property
+    def m_G(self) -> int:
+        return self.spec.m_G
+
+    @property
+    def Xtilde(self) -> np.ndarray:
+        return np.asarray(self.params["Xtilde"])
+
+    @property
+    def Gtilde(self) -> np.ndarray:
+        return np.asarray(self.params["Gtilde"])
+
+    def train(self):  # torch-API shims: the jax model has no modes
+        return self
+
+    def eval(self):
+        return self
+
+    def to(self, device=None):
+        return self
+
+    def parameters(self):
+        return jax.tree.leaves(self.params)
+
+    def create_view_idx_dict(self, data_dict):
+        """Parity with gpsa.py:155-183 — works on arbitrary data_dicts."""
+        view_idx, Ns, Ps = {}, {}, {}
+        n_total = 0
+        for mod in data_dict.keys():
+            n_samples_list = data_dict[mod]["n_samples_list"]
+            Ns[mod] = int(np.sum(n_samples_list))
+            n_total += Ns[mod]
+            Ps[mod] = int(_as_numpy(data_dict[mod]["outputs"]).shape[1])
+            cs = np.insert(np.cumsum(n_samples_list), 0, 0)
+            view_idx[mod] = [
+                np.arange(cs[ii], cs[ii + 1]) for ii in range(self.n_views)
+            ]
+        return view_idx, Ns, Ps, n_total
+
+    # ------------------------------------------------------------------
+    # Forward / loss (reference call contract)
+    # ------------------------------------------------------------------
+    def _eval_spec(self, view_idx) -> ModelSpec:
+        """Spec for a (possibly different-sized) coordinate set, e.g. held-out
+        prediction (two_dimensional_prediction.py:199-207)."""
+        counts = {
+            mod: tuple(len(view_idx[mod][v]) for v in range(self.n_views))
+            for mod in self.spec.modality_names
+        }
+        if all(counts[m.name] == m.n_samples for m in self.spec.modalities):
+            return self.spec
+        new_mods = tuple(
+            dataclasses.replace(
+                m,
+                n_samples=counts[m.name],
+                n_padded=max(max(counts[m.name]), 1),
+            )
+            for m in self.spec.modalities
+        )
+        return self.spec.replace(modalities=new_mods)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def forward(
+        self,
+        X_spatial: Dict[str, np.ndarray],
+        view_idx=None,
+        Ns=None,
+        S: int = 1,
+        prediction_mode: bool = False,
+        G_test: Optional[Dict[str, np.ndarray]] = None,
+        key: Optional[jax.Array] = None,
+    ):
+        """Reference-layout forward pass (vgpsa.py:212-489).
+
+        Returns (G_means, G_samples, F_latent_samples, F_observed_samples)
+        with concatenated-per-view arrays, plus the two ``*_test`` dicts when
+        ``G_test`` is given.
+        """
+        del Ns, prediction_mode  # shapes are derived; no train/eval modes
+        if view_idx is None:
+            view_idx = self.view_idx
+        spec = self._eval_spec(view_idx)
+        hp = merge_hyperparams(self.params, self.consts)
+
+        # Build a coords+mask batch (outputs unused by forward)
+        all_coords = pack_coords(spec, X_spatial)
+        batch = {}
+        for mod in spec.modalities:
+            coords = all_coords[mod.name]
+            mask = np.zeros((spec.n_views, mod.n_padded), np.float32)
+            for v, (lo, hi) in enumerate(view_slices(mod.n_samples)):
+                mask[v, : hi - lo] = 1.0
+            batch[mod.name] = {
+                "coords": coords,
+                "mask": jnp.asarray(mask),
+                "outputs": jnp.zeros(
+                    (spec.n_views, mod.n_padded, mod.n_outputs), jnp.float32
+                ),
+            }
+
+        if key is None:
+            key = self._next_key()
+        G_test_j = (
+            {m: jnp.asarray(_as_numpy(v), jnp.float32) for m, v in G_test.items()}
+            if G_test is not None
+            else None
+        )
+        result = _jit_forward(
+            spec, hp, batch, key, S, G_test=G_test_j, with_test=G_test is not None
+        )
+        self._last_aux = (hp, result.warp_aux, result.data_aux)
+
+        G_means = {m: unpack_points(spec, m, result.G_means[m]) for m in spec.modality_names}
+        G_samples = {
+            m: unpack_points(spec, m, result.G_samples[m]) for m in spec.modality_names
+        }
+        F_latent = {
+            m: unpack_points(spec, m, result.F_latent_samples[m])
+            for m in spec.modality_names
+        }
+        F_obs = {
+            m: unpack_points(spec, m, result.F_observed_samples[m])
+            for m in spec.modality_names
+        }
+        if G_test is not None:
+            return (
+                G_means,
+                G_samples,
+                F_latent,
+                F_obs,
+                {m: np.asarray(v) for m, v in result.F_latent_samples_test.items()},
+                {m: np.asarray(v) for m, v in result.F_observed_samples_test.items()},
+            )
+        return G_means, G_samples, F_latent, F_obs
+
+    def loss_fn(self, data_dict, F_samples):
+        """Negative ELBO given observed-sample dict (parity: vgpsa.py:491-540).
+
+        Uses the warp/data intermediates stashed by the preceding ``forward``
+        call, exactly like the reference's stateful loss.
+        """
+        if self._last_aux is None:
+            raise RuntimeError("loss_fn requires a preceding forward() call")
+        hp, warp_aux, data_aux = self._last_aux
+        KL = core.kl_divergence(self.spec, hp, warp_aux, data_aux)
+        noise_pos = jnp.exp(hp["noise_variance"]) + self.spec.diagonal_offset
+        LL = jnp.zeros(())
+        for mm, mod in enumerate(self.spec.modalities):
+            F = jnp.asarray(F_samples[mod.name])
+            Y = jnp.asarray(_as_numpy(data_dict[mod.name]["outputs"]), jnp.float32)
+            scale = noise_pos[-self.spec.n_modalities + mm]
+            S = F.shape[0]
+            log_prob = (
+                -0.5 * jnp.square((Y[None] - F) / scale)
+                - jnp.log(scale)
+                - 0.5 * core._LOG_2PI
+            )
+            LL = LL + jnp.sum(log_prob) / S
+        return -LL + KL
+
+    # ------------------------------------------------------------------
+    # Training (the hot loop: one fused XLA graph per step)
+    # ------------------------------------------------------------------
+    def make_train_step(self, lr: float = 1e-2, S: int = 5, optimizer=None):
+        """Returns (step_fn, opt_state). step_fn(params, opt_state, key) ->
+        (params, opt_state, loss); jit-compiled, closes over the static spec
+        and the packed batch."""
+        tx = optimizer or optax.adam(lr)
+        opt_state = tx.init(self.params)
+        spec, consts, batch = self.spec, self.consts, self._batch
+
+        @jax.jit
+        def step(params, opt_state, key):
+            loss, grads = jax.value_and_grad(core.negative_elbo, argnums=1)(
+                spec, params, consts, batch, key, S
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step, opt_state
+
+    def fit(
+        self,
+        n_epochs: int,
+        lr: float = 1e-2,
+        S: int = 5,
+        print_every: Optional[int] = None,
+        callback=None,
+        convergence_checker=None,
+    ) -> np.ndarray:
+        """Adam training loop (reference pattern: examples/grid_example.py:59-88).
+
+        Returns the loss trace. ``callback(model, epoch, loss)`` fires every
+        ``print_every`` epochs; ``convergence_checker(iternum, loss_trace)``
+        can stop early (see utils.convergence)."""
+        step, opt_state = self.make_train_step(lr=lr, S=S)
+        losses = np.zeros(n_epochs, np.float64)
+        params = self.params
+        for t in range(n_epochs):
+            params, opt_state, loss = step(params, opt_state, self._next_key())
+            losses[t] = float(loss)
+            if print_every and t % print_every == 0:
+                print(f"Iter: {t:<10} LL {-losses[t]:1.3e}", flush=True)
+                if callback is not None:
+                    self.params = params
+                    callback(self, t, losses[: t + 1])
+            if convergence_checker is not None and convergence_checker(t, losses):
+                losses = losses[: t + 1]
+                break
+        self.params = params
+        return losses
+
+    def neg_elbo(self, S: int = 5, key: Optional[jax.Array] = None) -> float:
+        """Single fused ELBO evaluation on the training batch."""
+        if key is None:
+            key = self._next_key()
+        return float(
+            _jit_neg_elbo(self.spec, self.params, self.consts, self._batch, key, S)
+        )
+
+
+class GPSA(VariationalGPSA):
+    """Alias of the working model under the reference's base-class name.
+
+    The reference's ``GPSA`` (gpsa.py:9-197) is an abstract hyperparameter
+    holder whose only concrete subclass is ``VariationalGPSA``; a separate
+    abstract class would be dead API here, so the name maps to the same
+    functional model.
+    """

@@ -1,0 +1,98 @@
+"""Numerically-hardened linear algebra for the SVGP layers.
+
+These are the hot primitives of the model (reference call sites:
+/root/reference/gpsa/models/vgpsa.py:255-257,314-331,390-426,491-540):
+jittered Cholesky, triangular/Cholesky solves, and whitened Gaussian KL.
+Everything is batched-first so vmap/jit produce single fused XLA ops that tile
+onto the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+__all__ = [
+    "add_jitter",
+    "safe_cholesky",
+    "cholesky_solve",
+    "tri_solve",
+    "kl_mvn_chol",
+    "chol_logdet",
+]
+
+
+def add_jitter(mat: jnp.ndarray, jitter: float) -> jnp.ndarray:
+    """mat + jitter * I on the trailing two dims (batched)."""
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    return mat + jitter * eye
+
+
+def safe_cholesky(mat: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
+    """Lower Cholesky of a (batched) PSD matrix with optional extra jitter.
+
+    float32 Cholesky of small-lengthscale Gram matrices is the main stability
+    hazard on TPU (SURVEY.md §7 "hard parts"); callers add the model's
+    diagonal_offset before calling, and this hook exists to escalate jitter in
+    one place if needed.
+    """
+    if jitter:
+        mat = add_jitter(mat, jitter)
+    return jnp.linalg.cholesky(mat)
+
+
+def _broadcast_mats(a: jnp.ndarray, b: jnp.ndarray):
+    batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+    return (
+        jnp.broadcast_to(a, batch + a.shape[-2:]),
+        jnp.broadcast_to(b, batch + b.shape[-2:]),
+    )
+
+
+def tri_solve(chol: jnp.ndarray, rhs: jnp.ndarray, *, trans: bool = False) -> jnp.ndarray:
+    """Solve L x = rhs (or L^T x = rhs when trans) with L lower triangular.
+
+    Batched; leading dims of the two args broadcast against each other.
+    """
+    chol, rhs = _broadcast_mats(chol, rhs)
+    return jsl.solve_triangular(chol, rhs, lower=True, trans=1 if trans else 0)
+
+
+def cholesky_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = rhs given A = L L^T (parity with torch.cholesky_solve).
+
+    Batched; leading dims of the two args broadcast against each other.
+    """
+    chol, rhs = _broadcast_mats(chol, rhs)
+    return jsl.cho_solve((chol, True), rhs)
+
+
+def chol_logdet(chol: jnp.ndarray) -> jnp.ndarray:
+    """log|A| from its Cholesky factor: 2 * sum(log diag L). Batched."""
+    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+    return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+
+
+def kl_mvn_chol(
+    mu_q: jnp.ndarray,
+    chol_q: jnp.ndarray,
+    mu_p: jnp.ndarray,
+    chol_p: jnp.ndarray,
+) -> jnp.ndarray:
+    """KL( N(mu_q, Lq Lq^T) || N(mu_p, Lp Lp^T) ), batched over leading dims.
+
+    Closed form evaluated directly from the Cholesky factors (the reference
+    builds torch MultivariateNormal objects for this; vgpsa.py:498-530):
+      0.5 * [ tr(Sp^-1 Sq) + (mu_p - mu_q)^T Sp^-1 (mu_p - mu_q)
+              - k + log|Sp| - log|Sq| ]
+    """
+    k = mu_q.shape[-1]
+    # tr(Sp^-1 Sq) = |Lp^-1 Lq|_F^2
+    m = tri_solve(chol_p, chol_q)
+    trace_term = jnp.sum(jnp.square(m), axis=(-2, -1))
+    # quadratic term via one triangular solve
+    diff = (mu_p - mu_q)[..., :, None]
+    quad = jnp.sum(jnp.square(tri_solve(chol_p, diff)), axis=(-2, -1))
+    logdet = chol_logdet(chol_p) - chol_logdet(chol_q)
+    return 0.5 * (trace_term + quad - k + logdet)

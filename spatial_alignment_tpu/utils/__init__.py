@@ -1,0 +1,12 @@
+from .convergence import ConvergenceChecker, LossNotDecreasingChecker
+from .preprocess import (
+    polar_warp,
+    get_st_coordinates,
+    compute_distance,
+    make_pinwheel,
+    compute_size_factors,
+    poisson_deviance,
+    deviance_feature_selection,
+    deviance_residuals,
+    pearson_residuals,
+)

