@@ -1,0 +1,149 @@
+"""Headline benchmark: ELBO optimization steps/sec on the two-view synthetic
+grid (BASELINE.md north-star config: examples/synthetic_data.h5ad — 200 spots,
+2 views, 30 outputs, m_G = m_X = 50, S = 5, template view 0, Adam lr 1e-2).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline = our steps/sec on the available accelerator divided by the
+PyTorch-CPU reference's steps/sec, measured live in-process from
+/root/reference (run as shipped, including its import-time
+torch.autograd.set_detect_anomaly(True)). If the reference can't run,
+falls back to a recorded measurement from this machine.
+"""
+
+import json
+import sys
+import time
+import warnings
+
+import numpy as np
+
+M = 50
+S = 5
+LR = 1e-2
+# Reference steps/s measured on this machine (1-core CPU, torch 2.13,
+# anomaly detection on, 10 timed steps) in case the live run fails.
+FALLBACK_BASELINE = 11.37
+
+
+def load_data():
+    import h5py
+
+    with h5py.File("/root/reference/examples/synthetic_data.h5ad", "r") as f:
+        X = np.asarray(f["obsm/spatial"]).astype(np.float32)
+        Y = np.asarray(f["X"]).astype(np.float32)
+        batch = np.asarray(f["obs/batch"])
+    n_samples_list = [int((batch == i).sum()) for i in sorted(set(batch.tolist()))]
+    return X, Y, n_samples_list
+
+
+def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0):
+    import jax
+    from spatial_alignment_tpu import VariationalGPSA
+
+    data_dict = {
+        "expression": {
+            "spatial_coords": X,
+            "outputs": Y,
+            "n_samples_list": n_samples_list,
+        }
+    }
+    model = VariationalGPSA(
+        data_dict,
+        m_X_per_view=M,
+        m_G=M,
+        n_latent_gps={"expression": None},
+        mean_function="identity_fixed",
+        fixed_view_idx=0,
+    )
+    step, opt_state = model.make_train_step(lr=LR, S=S)
+    params = model.params
+    key = jax.random.PRNGKey(0)
+    for i in range(n_warmup):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+    loss.block_until_ready()
+
+    # time in growing chunks until min_time of steady-state measurement
+    n_total, t_total = 0, 0.0
+    chunk = 100
+    while t_total < min_time:
+        keys = []
+        for _ in range(chunk):
+            key, sub = jax.random.split(key)
+            keys.append(sub)
+        t0 = time.perf_counter()
+        for sub in keys:
+            params, opt_state, loss = step(params, opt_state, sub)
+        loss.block_until_ready()
+        t_total += time.perf_counter() - t0
+        n_total += chunk
+    return n_total / t_total, float(loss), jax.devices()[0].platform
+
+
+def bench_reference(X, Y, n_samples_list, n_warmup=3, n_steps=10):
+    warnings.filterwarnings("ignore")
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from gpsa import VariationalGPSA as RefModel
+
+    x = torch.from_numpy(X).float()
+    y = torch.from_numpy(Y).float()
+    data_dict = {
+        "expression": {"spatial_coords": x, "outputs": y, "n_samples_list": n_samples_list}
+    }
+    model = RefModel(
+        data_dict,
+        n_spatial_dims=2,
+        m_X_per_view=M,
+        m_G=M,
+        data_init=True,
+        n_latent_gps={"expression": None},
+        mean_function="identity_fixed",
+        fixed_view_idx=0,
+    )
+    view_idx, Ns, _, _ = model.create_view_idx_dict(data_dict)
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR)
+
+    def step():
+        model.train()
+        _, _, _, F_samples = model.forward(
+            {"expression": x}, view_idx=view_idx, Ns=Ns, S=S
+        )
+        loss = model.loss_fn(data_dict, F_samples)
+        optimizer.zero_grad()
+        loss.backward()
+        optimizer.step()
+        return loss.item()
+
+    for _ in range(n_warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    return n_steps / (time.perf_counter() - t0)
+
+
+def main():
+    X, Y, n_samples_list = load_data()
+    ours, final_loss, platform = bench_ours(X, Y, n_samples_list)
+    try:
+        baseline = bench_reference(X, Y, n_samples_list)
+    except Exception as e:
+        print(f"# reference baseline failed ({e!r}); using recorded fallback", file=sys.stderr)
+        baseline = FALLBACK_BASELINE
+    print(
+        json.dumps(
+            {
+                "metric": f"ELBO optimization steps/sec (two-view synthetic grid, m=50, S=5, {platform})",
+                "value": round(ours, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(ours / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+from .sharding import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    batch_shardings,
+    param_shardings,
+    distribute,
+)
