@@ -1,0 +1,123 @@
+"""De-novo vs template-based alignment on the synthetic two-view grid.
+
+TPU-native port of the reference experiment
+(/root/reference/experiments/simulations/two_dimensional_denovo_vs_templatebased.py),
+whose recorded accuracy oracles (source comment, :234-236) are the repo's
+only published numbers:
+
+  de-novo error:   0.000536963
+  template error:  0.007253051
+  observed (pre):  0.7329880727046506
+
+Error = mean over spots of the summed squared per-dimension difference
+between the two views' aligned coordinates.
+
+Run: python experiments/simulations/two_dimensional_denovo_vs_templatebased.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from spatial_alignment_tpu import VariationalGPSA
+from spatial_alignment_tpu.data import generate_twod_data
+
+n_views = 2
+m_G = 50
+m_X_per_view = 50
+N_EPOCHS = 3000
+
+
+def two_d_gpsa(X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None, seed=0):
+    data_dict = {
+        "expression": {
+            "spatial_coords": X.astype(np.float32),
+            "outputs": Y.astype(np.float32),
+            "n_samples_list": n_samples_list,
+        }
+    }
+    model = VariationalGPSA(
+        data_dict,
+        n_spatial_dims=2,
+        m_X_per_view=m_X_per_view,
+        m_G=m_G,
+        data_init=True,
+        n_latent_gps=n_latent_gps,
+        mean_function="identity_fixed",
+        fixed_view_idx=fixed_view_idx,
+        seed=seed,
+    )
+    view_idx, Ns, _, _ = model.create_view_idx_dict(data_dict)
+    t0 = time.time()
+    losses = model.fit(n_epochs=n_epochs, lr=1e-2, S=5, print_every=500)
+    print(f"  trained {n_epochs} epochs in {time.time() - t0:.1f}s")
+    G_means, _, _, _ = model.forward({"expression": X.astype(np.float32)}, view_idx, Ns)
+    return G_means["expression"]
+
+
+def view_error(coords, view_idx):
+    return float(
+        np.mean(np.sum((coords[view_idx[0]] - coords[view_idx[1]]) ** 2, axis=1))
+    )
+
+
+def main(n_epochs=N_EPOCHS, seed=0):
+    n_outputs = 30
+    n_latent_gps = {"expression": 5}
+    rng = np.random.default_rng(seed)
+    X, Y, n_samples_list, view_idx = generate_twod_data(
+        n_views,
+        n_outputs,
+        grid_size=10,
+        n_latent_gps=n_latent_gps["expression"],
+        kernel_lengthscale=5.0,
+        kernel_variance=0.5,
+        noise_variance=0.001,
+        fixed_view_idx=0,
+        rng=rng,
+    )
+
+    original_error = view_error(X, view_idx)
+    print(f"observed data error: {original_error:.6f}")
+
+    print("de novo alignment...")
+    aligned_denovo = two_d_gpsa(
+        X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None, seed=seed
+    )
+    denovo_error = view_error(aligned_denovo, view_idx)
+    print(f"de novo error: {denovo_error:.6f}")
+
+    print("template-based alignment...")
+    aligned_template = two_d_gpsa(
+        X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=0, seed=seed
+    )
+    template_error = view_error(aligned_template, view_idx)
+    print(f"template error: {template_error:.6f}")
+
+    out = {
+        "observed_error": original_error,
+        "denovo_error": denovo_error,
+        "template_error": template_error,
+        "reference_oracle": {
+            "observed_error": 0.7329880727046506,
+            "denovo_error": 0.000536963,
+            "template_error": 0.007253051,
+        },
+        "n_epochs": n_epochs,
+        "seed": seed,
+    }
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "denovo_vs_templatebased.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()

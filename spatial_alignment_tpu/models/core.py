@@ -28,10 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.kernels import get_kernel
-from ..ops.linalg import add_jitter, cholesky_solve, kl_mvn_chol, safe_cholesky
+from ..ops.linalg import cholesky_solve, jittered_cholesky, kl_mvn_chol
 from .spec import ModelSpec
 
 _LOG_2PI = math.log(2.0 * math.pi)
+# Floor for marginal variances before sqrt: a clamp at exactly 0 makes the
+# reparameterized-sample gradient inf * 0 = NaN (d sqrt(u)/du -> inf at 0).
+_VAR_FLOOR = 1e-10
 
 
 class WarpAux(NamedTuple):
@@ -140,14 +143,12 @@ def warp_layer(
     eps = spec.diagonal_offset
 
     def one_view(Xt, Xv, ls, var, slope, intercept, Om_sqt, delta):
-        Kuu = add_jitter(kern(Xt, Xt, ls, var), eps)
-        L = safe_cholesky(Kuu)
+        L = jittered_cholesky(kern(Xt, Xt, ls, var), eps)
         Kuf = kern(Xt, Xv, ls, var)  # (m, Ntot)
         mu_x = Xv @ slope + intercept  # (Ntot, D)
         mu_z = Xt @ slope + intercept  # (m, D)
         kff = jnp.exp(var) * jnp.ones(Xv.shape[0], Xv.dtype)  # vgpsa.py:310-312
-        Omega = add_jitter(Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps)  # (D, m, m)
-        Om_tril = safe_cholesky(Omega)
+        Om_tril = jittered_cholesky(Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps)
         mu_t, sig = svgp_mean_var(kff, Kuf, L, mu_x, mu_z, delta, Om_tril, eps)
         return mu_t, sig, L, Om_tril, mu_z
 
@@ -169,7 +170,7 @@ def warp_layer(
         # (vgpsa.py:334-340); opt-in for strict behavioral parity.
         scale = sigma
     else:
-        scale = jnp.sqrt(jnp.maximum(sigma, 0.0))
+        scale = jnp.sqrt(jnp.maximum(sigma, _VAR_FLOOR))
 
     noise = jax.random.normal(key, (S,) + mu_tilde.shape, mu_tilde.dtype)
     samples = mu_tilde[None] + scale[None] * noise  # (S, V, Ntot, D)
@@ -202,8 +203,7 @@ def data_layer(
     ls = hp["data_kernel_lengthscale"]
     var = hp["data_kernel_variance"]
 
-    Kuu = add_jitter(kern(hp["Gtilde"], hp["Gtilde"], ls, var), eps)
-    L_F = safe_cholesky(Kuu)
+    L_F = jittered_cholesky(kern(hp["Gtilde"], hp["Gtilde"], ls, var), eps)
 
     F_latent, F_obs, Om_tril_F = {}, {}, {}
     keys = jax.random.split(key, spec.n_modalities)
@@ -213,15 +213,16 @@ def data_layer(
         Kuf = kern(hp["Gtilde"][None], G, ls, var)  # (S, m_G, N)
         kff = jnp.exp(var) * jnp.ones((S, V * Np), G.dtype)  # vgpsa.py:405-407
         Om_sqt = hp["Omega_sqt_F"][mod.name]
-        Omega = add_jitter(Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps)
-        Om_tril = safe_cholesky(Omega)  # (L, m_G, m_G)
+        Om_tril = jittered_cholesky(
+            Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps
+        )  # (L, m_G, m_G)
         delta = hp["delta_F"][mod.name]  # (m_G, L)
         mu_t, sig = svgp_mean_var(
             kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps
         )
         # mu_t: (S, N, L); sig: (S, L, N)
         noise = jax.random.normal(kk, mu_t.shape, mu_t.dtype)
-        lat = mu_t + jnp.sqrt(jnp.maximum(jnp.swapaxes(sig, -1, -2), 0.0)) * noise
+        lat = mu_t + jnp.sqrt(jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)) * noise
         obs = lat @ hp["W"][mod.name] if mod.use_lmc else lat
         F_latent[mod.name] = lat.reshape(S, V, Np, mod.n_latent)
         F_obs[mod.name] = obs.reshape(S, V, Np, mod.n_outputs)
@@ -271,7 +272,7 @@ def impute_at(
         )
         # mu_t: (n_test, L); sig: (L, n_test)
         noise = jax.random.normal(kk, (S,) + mu_t.shape, mu_t.dtype)
-        lat = mu_t[None] + jnp.sqrt(jnp.maximum(jnp.swapaxes(sig, -1, -2), 0.0))[None] * noise
+        lat = mu_t[None] + jnp.sqrt(jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR))[None] * noise
         obs = lat @ hp["W"][mod.name] if mod.use_lmc else lat
         F_latent_t[mod.name] = lat
         F_obs_t[mod.name] = obs

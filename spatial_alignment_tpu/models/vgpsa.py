@@ -362,6 +362,19 @@ class VariationalGPSA:
         self.params = params
         return losses
 
+    def save(self, path: str, step: Optional[int] = None):
+        """Checkpoint params + frozen hyperparameters to ``path`` (.npz)."""
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.params, self.consts, step=step)
+
+    def load(self, path: str):
+        """Restore a checkpoint written by ``save`` (shapes must match)."""
+        from ..utils.checkpoint import load_checkpoint
+
+        self.params, self.consts = load_checkpoint(path, self.params, self.consts)
+        return self
+
     def neg_elbo(self, S: int = 5, key: Optional[jax.Array] = None) -> float:
         """Single fused ELBO evaluation on the training batch."""
         if key is None:

@@ -42,6 +42,45 @@ def safe_cholesky(mat: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
     return jnp.linalg.cholesky(mat)
 
 
+def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Lower Cholesky of mat + jitter * I with NaN-probed jitter escalation.
+
+    The reference adds an absolute 1e-5 jitter (gpsa.py:153) and relies on
+    LAPACK's f32 spotrf, which tolerates the near-singular Gram matrices this
+    model produces (lengthscale ~ domain size => condition ~1e7). TPU's
+    blocked f32 Cholesky NaNs right at that cliff, killing training.
+
+    Strategy (branchless, XLA-friendly, clean gradients):
+      1. probe-factorize under stop_gradient at jitter eps and 100*eps,
+      2. per matrix in the batch, select the smallest jitter whose probe was
+         NaN-free (eps -> 100*eps -> 10000*eps),
+      3. run the single differentiable Cholesky at the selected jitter.
+
+    Healthy matrices get exactly the reference's eps (scaled by max(1, mean
+    diag) so a learned kernel variance > 1 keeps the jitter proportionate);
+    only matrices that would have NaN'd get more. Probe cost is 2 extra m^3
+    factorizations of m <= ~200 matrices — noise next to the Gram work.
+    """
+    diag_mean = jnp.maximum(
+        1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
+    )
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    base = (eps * diag_mean)[..., None, None]
+
+    frozen = jax.lax.stop_gradient(mat)
+
+    def probe_ok(jit_scale):
+        L = jnp.linalg.cholesky(frozen + jit_scale * base * eye)
+        return jnp.logical_not(
+            jnp.any(jnp.isnan(L), axis=(-2, -1), keepdims=True)
+        )
+
+    ok1 = probe_ok(1.0)
+    ok2 = probe_ok(100.0)
+    jitter = jnp.where(ok1, base, jnp.where(ok2, 100.0 * base, 10000.0 * base))
+    return jnp.linalg.cholesky(mat + jitter * eye)
+
+
 def _broadcast_mats(a: jnp.ndarray, b: jnp.ndarray):
     batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
     return (

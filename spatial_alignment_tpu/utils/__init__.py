@@ -10,3 +10,4 @@ from .preprocess import (
     deviance_residuals,
     pearson_residuals,
 )
+from .checkpoint import save_checkpoint, load_checkpoint

@@ -1,0 +1,123 @@
+"""Utility tests: convergence checkers, count preprocessing (SURVEY.md §2.1 #5-6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spatial_alignment_tpu.utils import (
+    ConvergenceChecker,
+    LossNotDecreasingChecker,
+    polar_warp,
+    get_st_coordinates,
+    compute_distance,
+    make_pinwheel,
+    compute_size_factors,
+    poisson_deviance,
+    deviance_feature_selection,
+    deviance_residuals,
+    pearson_residuals,
+)
+
+
+def test_convergence_checker_flat_trace_converged():
+    cc = ConvergenceChecker(span=20)
+    y = np.ones(50) * 3.0
+    assert cc.converged(y, tol=1e-4)
+
+
+def test_convergence_checker_decreasing_not_converged():
+    cc = ConvergenceChecker(span=20)
+    y = np.linspace(100, 0, 50)
+    assert not cc.converged(y, tol=1e-6)
+
+
+def test_convergence_checker_smooth_projection():
+    cc = ConvergenceChecker(span=10)
+    # smoothing projects onto cubic basis: cubic input is a fixed point
+    x = np.arange(10, dtype=float)
+    y = 1 + 2 * x - 0.1 * x**2 + 0.01 * x**3
+    np.testing.assert_allclose(cc.smooth(y), y, rtol=1e-8)
+
+
+def test_convergence_checker_all_variants():
+    cc = ConvergenceChecker(span=10)
+    y = np.concatenate([np.linspace(10, 1, 30), np.ones(30)])
+    flags = cc.converged_all(y, tol=1e-3)
+    assert flags[-1] and not flags[12]
+
+
+def test_loss_not_decreasing_checker():
+    ck = LossNotDecreasingChecker(max_epochs=100, atol=1e-2, window_size=10)
+    trace = np.concatenate([np.linspace(100, 10, 50), np.ones(50) * 10])
+    fired = [t for t in range(100) if ck.check_loss(t, trace)]
+    assert fired and min(fired) > 45  # only after the plateau begins
+
+
+def test_loss_checker_is_callable_for_fit():
+    ck = LossNotDecreasingChecker(max_epochs=10)
+    assert ck(0, np.zeros(10)) is False
+
+
+def test_polar_warp():
+    X = np.array([[1.0, 2.0], [3.0, 4.0]])
+    out = polar_warp(X, r=np.array([1.0, 2.0]), theta=np.array([0.0, np.pi / 2]))
+    np.testing.assert_allclose(out, [[2.0, 2.0], [3.0, 6.0]], atol=1e-8)
+
+
+def test_get_st_coordinates():
+    df = pd.DataFrame(index=["1.5x2.5", "3x4"], data={"a": [0, 0]})
+    np.testing.assert_allclose(get_st_coordinates(df), [[1.5, 2.5], [3.0, 4.0]])
+
+
+def test_compute_distance():
+    X1 = np.zeros((3, 2))
+    X2 = np.ones((3, 2))
+    np.testing.assert_allclose(compute_distance(X1, X2), np.sqrt(2))
+
+
+def test_make_pinwheel_shape():
+    out = make_pinwheel(0.3, 0.1, 5, 20, 0.25)
+    assert out.shape == (100, 2) and np.isfinite(out).all()
+
+
+def test_compute_size_factors_geometric_mean_one(rng):
+    m = pd.DataFrame(rng.poisson(5, (20, 8)).astype(float))
+    sz = compute_size_factors(m)
+    np.testing.assert_allclose(np.exp(np.mean(np.log(sz))), 1.0, rtol=1e-8)
+
+
+def test_poisson_deviance_null_model_near_zero(rng):
+    # constant-rate data: saturated ~ null, deviance small relative to counts
+    X = pd.DataFrame(np.full((5, 40), 7.0))
+    sz = compute_size_factors(X)
+    dev = poisson_deviance(X, sz)
+    np.testing.assert_allclose(np.asarray(dev), 0.0, atol=1e-8)
+
+
+def test_deviance_feature_selection_ranks_variable_genes(rng):
+    flat = np.full((1, 30), 10.0)
+    variable = np.concatenate([np.full((1, 15), 1.0), np.full((1, 15), 20.0)], axis=1)
+    X = pd.DataFrame(np.concatenate([flat, variable]), index=["flat", "variable"])
+    devs, names = deviance_feature_selection(X)
+    assert devs[list(names).index("variable")] > devs[list(names).index("flat")]
+
+
+def test_deviance_residuals_poisson_zero_at_mean(rng):
+    x = np.full((6, 4), 5.0)
+    res = deviance_residuals(x, np.inf)
+    np.testing.assert_allclose(res, 0.0, atol=1e-8)
+
+
+def test_deviance_residuals_nb_finite(rng):
+    x = rng.poisson(4, (10, 6)).astype(float) + 1
+    res = deviance_residuals(x, theta=10.0)
+    assert np.isfinite(res).all()
+
+
+def test_pearson_residuals_clipping(rng):
+    counts = rng.poisson(3, (9, 5)).astype(float)
+    counts[0, 0] = 1000  # outlier
+    z = pearson_residuals(counts, theta=100.0, clipping=True)
+    assert z.max() <= np.sqrt(9) + 1e-9
+    z_unclipped = pearson_residuals(counts, theta=100.0, clipping=False)
+    assert z_unclipped.max() > z.max()
