@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..ops.kernels import get_kernel
 from ..ops.linalg import cholesky_solve, jittered_cholesky, kl_mvn_chol
+from ..ops.pallas_gram import gram
 from .spec import ModelSpec
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -144,7 +145,7 @@ def warp_layer(
 
     def one_view(Xt, Xv, ls, var, slope, intercept, Om_sqt, delta):
         L = jittered_cholesky(kern(Xt, Xt, ls, var), eps)
-        Kuf = kern(Xt, Xv, ls, var)  # (m, Ntot)
+        Kuf = gram(Xt, Xv, ls, var, spec.kernel_warp)  # (m, Ntot); pallas at scale
         mu_x = Xv @ slope + intercept  # (Ntot, D)
         mu_z = Xt @ slope + intercept  # (m, D)
         kff = jnp.exp(var) * jnp.ones(Xv.shape[0], Xv.dtype)  # vgpsa.py:310-312
@@ -210,7 +211,9 @@ def data_layer(
     for kk, mod in zip(keys, spec.modalities):
         S, V, Np, D = G_samples[mod.name].shape
         G = G_samples[mod.name].reshape(S, V * Np, D)
-        Kuf = kern(hp["Gtilde"][None], G, ls, var)  # (S, m_G, N)
+        # S-batched cross-Gram — the FLOP peak at scale (vgpsa.py:409 analog);
+        # dispatches to the fused Pallas kernel on TPU for large N.
+        Kuf = gram(hp["Gtilde"], G, ls, var, spec.kernel_data)  # (S, m_G, N)
         kff = jnp.exp(var) * jnp.ones((S, V * Np), G.dtype)  # vgpsa.py:405-407
         Om_sqt = hp["Omega_sqt_F"][mod.name]
         Om_tril = jittered_cholesky(

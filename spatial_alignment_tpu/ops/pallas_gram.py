@@ -44,17 +44,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _gram_kernel_body(kind, n_dims, params_ref, x1_ref, x2_ref, out_ref):
-    """out[i, j] = kernel(x1[i], x2[j]).
+_DIM_PAD = 8  # coordinate rows padded to one f32 sublane tile
 
-    x1: (M, D) full block; x2: (TN, D) tile; out: (M, TN) tile.
-    params (SMEM): [log_lengthscale, log_variance].
+
+def _gram_kernel_body(kind, params_ref, x1t_ref, x2t_ref, out_ref):
+    """out[i, j] = kernel(x1[:, i], x2[:, j]).
+
+    Lane-aligned layout: coordinates are transposed to (8, M) / (8, TN) with
+    zero-padded dimension rows (zeros contribute nothing to the distance), so
+    the big axes M / N sit in the 128-lane dimension.
+    params (SMEM): [[log_lengthscale, log_variance]].
     """
-    log_ls = params_ref[0]
-    log_var = params_ref[1]
+    log_ls = params_ref[0, 0]
+    log_var = params_ref[0, 1]
     acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for d in range(n_dims):  # static unroll: D is 1-3
-        diff = x1_ref[:, d][:, None] - x2_ref[:, d][None, :]
+    for d in range(_DIM_PAD):  # static unroll; padded rows add exact zeros
+        diff = x1t_ref[d, :][:, None] - x2t_ref[d, :][None, :]
         acc += diff * diff
     inv_ls2 = jnp.exp(-2.0 * log_ls)
     var = jnp.exp(log_var)
@@ -65,7 +70,7 @@ def _gram_kernel_body(kind, n_dims, params_ref, x1_ref, x2_ref, out_ref):
         out_ref[:] = var * jnp.exp(-0.5 * dists * jnp.exp(-log_ls))
     else:  # matern32
         dists = jnp.sqrt(acc + 1e-10)
-        inner = np.sqrt(3.0).astype(np.float32) * dists * jnp.exp(-log_ls)
+        inner = np.float32(np.sqrt(3.0)) * dists * jnp.exp(-log_ls)
         out_ref[:] = var * (1.0 + inner) * jnp.exp(-inner)
 
 
@@ -81,31 +86,34 @@ def _pallas_gram_2d(
     M, D = x1.shape
     N = x2.shape[0]
     Mp = _round_up(max(M, SUBLANE), SUBLANE)
-    Np = _round_up(max(N, LANE), min(tile_n, _round_up(N, LANE)))
-    Np = _round_up(Np, LANE)
+    Np = _round_up(max(N, LANE), LANE)
     tile = min(tile_n, Np)
+    Np = _round_up(Np, tile)
 
-    # Pad far away so padded rows/cols produce ~0 kernel values (harmless,
-    # sliced off below anyway).
-    x1p = jnp.pad(x1, ((0, Mp - M), (0, 0)), constant_values=1e6)
-    x2p = jnp.pad(x2, ((0, Np - N), (0, 0)), constant_values=-1e6)
-    params = jnp.stack(
-        [jnp.reshape(log_ls, ()), jnp.reshape(log_var, ())]
+    # Transpose to (D, ...) then pad: dim rows with zeros (contribute 0 to the
+    # distance), point columns far away so padded entries give ~0 kernel
+    # values (sliced off below anyway).
+    x1t = jnp.pad(x1.T, ((0, _DIM_PAD - D), (0, Mp - M)), constant_values=0.0)
+    x1t = x1t.at[:D, M:].set(1e6) if Mp > M else x1t
+    x2t = jnp.pad(x2.T, ((0, _DIM_PAD - D), (0, Np - N)), constant_values=0.0)
+    x2t = x2t.at[:D, N:].set(-1e6) if Np > N else x2t
+    params = jnp.reshape(
+        jnp.stack([jnp.reshape(log_ls, ()), jnp.reshape(log_var, ())]), (1, 2)
     ).astype(jnp.float32)
 
-    body = functools.partial(_gram_kernel_body, kind, D)
+    body = functools.partial(_gram_kernel_body, kind)
     out = pl.pallas_call(
         body,
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
         grid=(Np // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
-            pl.BlockSpec((Mp, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_DIM_PAD, Mp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_DIM_PAD, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Mp, tile), lambda j: (0, j), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(params, x1p, x2p)
+    )(params, x1t, x2t)
     return out[:M, :N]
 
 
@@ -130,18 +138,7 @@ def pallas_gram(
 _PALLAS_MIN_ELEMS = 256 * 1024
 
 
-def gram(
-    x1: jnp.ndarray,
-    x2: jnp.ndarray,
-    log_ls,
-    log_var,
-    kind: str = "rbf",
-    force: Optional[bool] = None,
-) -> jnp.ndarray:
-    """Dispatching cross-Gram: pallas on TPU for large shapes, jnp otherwise.
-
-    ``force=True/False`` overrides the heuristic (used by tests/benchmarks).
-    """
+def _gram_fwd_impl(x1, x2, log_ls, log_var, kind, force):
     use = force
     if use is None:
         n_out = int(np.prod(x1.shape[:-1])) * int(np.prod(x2.shape[:-1]))
@@ -154,6 +151,85 @@ def gram(
     if use:
         return pallas_gram(x1, x2, log_ls, log_var, kind)
     kern = get_kernel(kind)
+    x1b = x1
     if x2.ndim > 2 and x1.ndim == 2:
-        x1 = x1[(None,) * (x2.ndim - 2)]
-    return kern(x1, x2, log_ls, log_var)
+        x1b = x1[(None,) * (x2.ndim - 2)]
+    return kern(x1b, x2, log_ls, log_var)
+
+
+def _sqdist(x1, x2):
+    # x1 (m, D); x2 (..., N, D) -> (..., m, N)
+    n1 = jnp.sum(jnp.square(x1), axis=-1)
+    n2 = jnp.sum(jnp.square(x2), axis=-1)
+    cross = jnp.einsum(
+        "md,...nd->...mn", x1, x2, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.maximum(n1[..., :, None] + n2[..., None, :] - 2.0 * cross, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gram(x1, x2, log_ls, log_var, kind: str = "rbf", force: Optional[bool] = None):
+    """Differentiable dispatching cross-Gram K[..., i, j] = k(x1[i], x2[..., j]).
+
+    Forward: fused Pallas kernel on TPU for large shapes, jnp otherwise
+    (``force`` overrides). Backward: closed-form cotangents in matmul form —
+    no (m, N, D) difference tensor materializes in either pass, unlike
+    autodiff through the broadcast formulation.
+    """
+    return _gram_fwd_impl(x1, x2, log_ls, log_var, kind, force)
+
+
+def _gram_vjp_fwd(x1, x2, log_ls, log_var, kind, force):
+    K = _gram_fwd_impl(x1, x2, log_ls, log_var, kind, force)
+    return K, (x1, x2, jnp.asarray(log_ls), jnp.asarray(log_var), K)
+
+
+def _gram_vjp_bwd(kind, force, res, g):
+    x1, x2, log_ls, log_var, K = res
+    ls = jnp.exp(jnp.reshape(log_ls, ()))
+    sq = _sqdist(x1, x2)  # (..., m, N)
+
+    if kind == "rbf":
+        W = g * K  # dK/d(pairwise diff) weight
+        # K = v exp(-0.5 sq / ls^2)
+        coef = W / jnp.square(ls)  # per-pair weight on (x1_i - x2_j)
+        g_ll = jnp.sum(W * sq) / jnp.square(ls)
+    elif kind == "matern12":
+        d = jnp.sqrt(sq + 1e-10)
+        W = g * K
+        coef = 0.5 * W / (ls * d)
+        g_ll = jnp.sum(W * 0.5 * d / ls)
+    elif kind == "matern32":
+        d = jnp.sqrt(sq + 1e-10)
+        a = np.sqrt(3.0) * d / ls
+        v = jnp.exp(jnp.reshape(log_var, ()))
+        dKda = -v * a * jnp.exp(-a)  # d[v(1+a)e^-a]/da
+        W = g * dKda
+        coef = -W * np.sqrt(3.0) / (ls * d)  # chain: da/dd * dd/ddiff direction
+        g_ll = jnp.sum(-W * a)
+    else:
+        raise ValueError(f"unknown kernel kind {kind!r}")
+
+    # grad through the (x1_i - x2_j) geometry, in matmul form:
+    #   g_x1[i] = -sum_j coef_ij (x1_i - x2_j);  g_x2[j] = +sum_i coef_ij (...)
+    row = jnp.sum(coef, axis=-1)  # (..., m)
+    col = jnp.sum(coef, axis=-2)  # (..., N)
+    cx2 = jnp.einsum("...mn,...nd->...md", coef, x2, precision=jax.lax.Precision.HIGHEST)
+    cx1 = jnp.einsum("...mn,md->...nd", coef, x1, precision=jax.lax.Precision.HIGHEST)
+    g_x1 = -(row[..., :, None] * x1 - cx2)
+    g_x2 = -(col[..., :, None] * x2 - cx1)
+    # sum the batch dims x1 was broadcast over
+    if g_x1.ndim > x1.ndim:
+        g_x1 = jnp.sum(g_x1, axis=tuple(range(g_x1.ndim - x1.ndim)))
+    g_lv = jnp.sum(g * K)  # every kernel scales linearly with v = exp(log_var)
+
+    res_ls, res_lv = res[2], res[3]
+    return (
+        g_x1,
+        g_x2,
+        jnp.reshape(g_ll, res_ls.shape).astype(res_ls.dtype),
+        jnp.reshape(g_lv, res_lv.shape).astype(res_lv.dtype),
+    )
+
+
+gram.defvjp(_gram_vjp_fwd, _gram_vjp_bwd)
