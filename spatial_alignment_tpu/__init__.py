@@ -10,6 +10,7 @@ Public facade parity: /root/reference/gpsa/__init__.py:1-10.
 """
 
 from .models.vgpsa import VariationalGPSA, GPSA
+from .models.mle import WarpGPMLE
 from .models.spec import ModelSpec, ModalitySpec, build_spec, pack_batch
 from .models import core
 from .ops.kernels import (
@@ -36,6 +37,7 @@ __version__ = "0.1.0"
 __all__ = [
     "VariationalGPSA",
     "GPSA",
+    "WarpGPMLE",
     "ModelSpec",
     "ModalitySpec",
     "build_spec",

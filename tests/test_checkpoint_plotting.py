@@ -1,0 +1,97 @@
+"""Checkpoint round-trip and plotting-callback smoke tests."""
+
+import os
+
+import numpy as np
+import jax
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import pytest
+
+import spatial_alignment_tpu as sat
+from spatial_alignment_tpu.models import core
+from spatial_alignment_tpu.plotting import (
+    callback_oned,
+    callback_twod,
+    callback_twod_aligned_only,
+    callback_twod_multimodal,
+)
+
+from conftest import make_two_view_data
+
+
+def _model(data, **kw):
+    kw.setdefault("m_X_per_view", 6)
+    kw.setdefault("m_G", 6)
+    kw.setdefault("n_latent_gps", {m: None for m in data})
+    return sat.VariationalGPSA(data, **kw)
+
+
+def test_checkpoint_roundtrip(tmp_path, two_view_data):
+    model = _model(two_view_data, fixed_warp_kernel_variances=[0.5, 0.5])
+    model.fit(5, S=2)
+    path = str(tmp_path / "ckpt.npz")
+    model.save(path, step=5)
+    assert os.path.exists(path) and os.path.exists(path + ".json")
+
+    model2 = _model(two_view_data, fixed_warp_kernel_variances=[0.5, 0.5], seed=99)
+    # different init -> different elbo; after load, elbo matches with same key
+    key = jax.random.PRNGKey(0)
+    e1 = float(core.negative_elbo(model.spec, model.params, model.consts, model._batch, key, 2))
+    model2.load(path)
+    e2 = float(core.negative_elbo(model2.spec, model2.params, model2.consts, model2._batch, key, 2))
+    np.testing.assert_allclose(e1, e2, rtol=1e-6)
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path, two_view_data):
+    model = _model(two_view_data)
+    path = str(tmp_path / "ckpt.npz")
+    model.save(path)
+    other = _model(two_view_data, m_X_per_view=8, m_G=8)
+    with pytest.raises(ValueError, match="shape"):
+        other.load(path)
+
+
+def test_callback_twod_smoke(two_view_data):
+    model = _model(two_view_data, fixed_view_idx=0)
+    X = two_view_data["expression"]["spatial_coords"]
+    Y = two_view_data["expression"]["outputs"]
+    G_means, _, _, _ = model.forward({"expression": X}, S=1)
+    fig, (ax1, ax2) = plt.subplots(1, 2)
+    callback_twod(model, X, Y, X_aligned={"expression": G_means["expression"]},
+                  data_expression_ax=ax1, latent_expression_ax=ax2)
+    callback_twod_aligned_only(model, X, Y,
+                               X_aligned={"expression": G_means["expression"]},
+                               latent_expression_ax1=ax1, latent_expression_ax2=ax2)
+    plt.close(fig)
+
+
+def test_callback_oned_smoke():
+    data = {
+        "expression": {
+            "spatial_coords": np.linspace(-5, 5, 40).reshape(-1, 1).astype(np.float32),
+            "outputs": np.random.default_rng(0).standard_normal((40, 2)).astype(np.float32),
+            "n_samples_list": [20, 20],
+        }
+    }
+    model = _model(data)
+    X = data["expression"]["spatial_coords"]
+    G_means, _, _, _ = model.forward({"expression": X}, S=1)
+    fig, (ax1, ax2) = plt.subplots(1, 2)
+    callback_oned(model, X, data["expression"]["outputs"],
+                  X_aligned={"expression": G_means["expression"]},
+                  data_expression_ax=ax1, latent_expression_ax=ax2)
+    plt.close(fig)
+
+
+def test_callback_multimodal_smoke():
+    data = make_two_view_data(n_per_view=15, n_outputs=3)
+    data["histology"] = make_two_view_data(n_per_view=10, n_outputs=3, seed=4)["expression"]
+    model = _model(data, n_noise_variance_params=3)
+    X = {m: data[m]["spatial_coords"] for m in data}
+    G_means, _, _, _ = model.forward(X, S=1)
+    fig, axes = plt.subplots(2, 2)
+    callback_twod_multimodal(model, data, {m: G_means[m] for m in data}, axes.ravel())
+    plt.close(fig)
