@@ -57,29 +57,22 @@ def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0):
         mean_function="identity_fixed",
         fixed_view_idx=0,
     )
-    step, opt_state = model.make_train_step(lr=LR, S=S)
-    params = model.params
-    key = jax.random.PRNGKey(0)
-    for i in range(n_warmup):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
-    loss.block_until_ready()
-
-    # time in growing chunks until min_time of steady-state measurement
-    n_total, t_total = 0, 0.0
+    # Scanned on-device training loop: the whole chunk of ELBO steps is one
+    # dispatch (lax.scan) with donated buffers and a device-resident RNG chain.
+    loop, opt_state = model.make_train_loop(lr=LR, S=S)
+    carry = (model.params, opt_state, jax.random.PRNGKey(0))
     chunk = 100
+    carry, losses = loop(carry, chunk)  # compile + warmup
+    losses.block_until_ready()
+
+    n_total, t_total = 0, 0.0
     while t_total < min_time:
-        keys = []
-        for _ in range(chunk):
-            key, sub = jax.random.split(key)
-            keys.append(sub)
         t0 = time.perf_counter()
-        for sub in keys:
-            params, opt_state, loss = step(params, opt_state, sub)
-        loss.block_until_ready()
+        carry, losses = loop(carry, chunk)
+        losses.block_until_ready()
         t_total += time.perf_counter() - t0
         n_total += chunk
-    return n_total / t_total, float(loss), jax.devices()[0].platform
+    return n_total / t_total, float(losses[-1]), jax.devices()[0].platform
 
 
 def bench_reference(X, Y, n_samples_list, n_warmup=3, n_steps=10):

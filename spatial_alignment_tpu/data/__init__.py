@@ -10,3 +10,14 @@ from .simulated import (
     generate_twod_data,
     generate_twod_data_partial_overlap,
 )
+from .realdata import (
+    load_h5ad,
+    load_st_data,
+    load_csv_expression,
+    knn_r2_gene_filter,
+    remove_outlier_spots,
+    rotate_coords,
+    synthetic_visium_like,
+    synthetic_slideseq_like,
+    synthetic_st_like,
+)

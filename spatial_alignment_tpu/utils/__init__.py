@@ -11,3 +11,4 @@ from .preprocess import (
     pearson_residuals,
 )
 from .checkpoint import save_checkpoint, load_checkpoint
+from .metrics import morans_i, landmark_distances

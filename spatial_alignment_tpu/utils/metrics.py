@@ -1,0 +1,62 @@
+"""Evaluation metrics used by the reference's real-data experiments.
+
+- Moran's I spatial autocorrelation: the reference computes this via squidpy
+  (/root/reference/experiments/expression/visium/visium_morans_i.py:73-143)
+  to show alignment increases per-gene spatial coherence. Implemented here
+  directly (kNN weight matrix, standard Moran statistic) so the evaluation
+  runs without the squidpy stack.
+- Landmark distances: hand-placed anatomical landmark pairs compared across
+  aligned views (/root/reference/experiments/expression/slideseq/
+  compute_landmark_distances.py:36-50).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["morans_i", "landmark_distances"]
+
+
+def _knn_weights(coords: np.ndarray, n_neighbors: int) -> "np.ndarray":
+    """Row-normalized binary kNN adjacency (dense, small-N evaluation use)."""
+    from sklearn.neighbors import NearestNeighbors
+
+    nn = NearestNeighbors(n_neighbors=n_neighbors + 1).fit(coords)
+    _, idx = nn.kneighbors(coords)
+    n = coords.shape[0]
+    W = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), n_neighbors)
+    W[rows, idx[:, 1:].ravel()] = 1.0
+    return W
+
+
+def morans_i(coords: np.ndarray, values: np.ndarray, n_neighbors: int = 6) -> np.ndarray:
+    """Moran's I per column of ``values`` over kNN weights on ``coords``.
+
+    I = (N / W_sum) * (z^T W z) / (z^T z), z = value - mean.
+    Returns an array of shape (n_features,) (scalar input -> shape (1,)).
+    """
+    values = np.asarray(values, dtype=float)
+    if values.ndim == 1:
+        values = values[:, None]
+    coords = np.asarray(coords, dtype=float)
+    n = coords.shape[0]
+    W = _knn_weights(coords, n_neighbors)
+    w_sum = W.sum()
+    z = values - values.mean(axis=0, keepdims=True)
+    num = np.einsum("if,ij,jf->f", z, W, z)
+    den = np.sum(z**2, axis=0)
+    den = np.where(den == 0, 1.0, den)
+    return (n / w_sum) * num / den
+
+
+def landmark_distances(
+    aligned_coords_a: np.ndarray, aligned_coords_b: np.ndarray
+) -> np.ndarray:
+    """Per-landmark Euclidean distance between matched points of two views
+    after alignment (compute_landmark_distances.py:36-50)."""
+    a = np.asarray(aligned_coords_a, dtype=float)
+    b = np.asarray(aligned_coords_b, dtype=float)
+    if a.shape != b.shape:
+        raise ValueError(f"landmark sets differ in shape: {a.shape} vs {b.shape}")
+    return np.sqrt(np.sum((a - b) ** 2, axis=1))

@@ -121,3 +121,26 @@ def test_pearson_residuals_clipping(rng):
     assert z.max() <= np.sqrt(9) + 1e-9
     z_unclipped = pearson_residuals(counts, theta=100.0, clipping=False)
     assert z_unclipped.max() > z.max()
+
+
+def test_morans_i_spatial_signal(rng):
+    from spatial_alignment_tpu.utils import morans_i
+
+    coords = rng.uniform(0, 10, (200, 2))
+    smooth = np.sin(coords[:, 0] / 2.0)         # spatially coherent
+    noise = rng.standard_normal(200)            # spatially random
+    I = morans_i(coords, np.stack([smooth, noise], 1))
+    assert I.shape == (2,)
+    assert I[0] > 0.5
+    assert abs(I[1]) < 0.25
+    assert I[0] > I[1]
+
+
+def test_landmark_distances():
+    from spatial_alignment_tpu.utils import landmark_distances
+
+    a = np.zeros((4, 2))
+    b = np.tile([[3.0, 4.0]], (4, 1))
+    np.testing.assert_allclose(landmark_distances(a, b), 5.0)
+    with pytest.raises(ValueError):
+        landmark_distances(a, b[:2])
