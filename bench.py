@@ -75,7 +75,7 @@ def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0):
     return n_total / t_total, float(losses[-1]), jax.devices()[0].platform
 
 
-def bench_reference(X, Y, n_samples_list, n_warmup=3, n_steps=10):
+def bench_reference(X, Y, n_samples_list, n_warmup=5, n_steps=25):
     warnings.filterwarnings("ignore")
     sys.path.insert(0, "/root/reference")
     import torch

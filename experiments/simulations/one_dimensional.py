@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from spatial_alignment_tpu import VariationalGPSA
 from spatial_alignment_tpu.data import generate_oned_data_gp_warp
 
-N_EPOCHS = 2000
+N_EPOCHS = 3000
 
 
 def main(seed=0, n_epochs=N_EPOCHS):
@@ -28,8 +28,8 @@ def main(seed=0, n_epochs=N_EPOCHS):
         n_outputs=4,
         n_samples_per_view=80,
         n_latent_gps=2,
-        kernel_variance=0.5,
-        kernel_lengthscale=2.0,
+        kernel_variance=0.25,
+        kernel_lengthscale=5.0,
         noise_variance=1e-3,
         rng=rng,
     )
