@@ -21,7 +21,6 @@ statistical structure so every experiment script runs end-to-end.
 
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -32,7 +32,7 @@ import optax
 
 from ..ops.kernels import get_kernel, kernel_name
 from ..ops.linalg import jittered_cholesky, tri_solve
-from .spec import build_spec, create_view_idx_dict, pack_batch, unpack_points, _as_numpy
+from .spec import build_spec, create_view_idx_dict, pack_batch, unpack_points
 from .params import init_params
 
 _LOG_2PI = float(np.log(2.0 * np.pi))

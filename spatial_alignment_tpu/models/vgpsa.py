@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.kernels import kernel_name, rbf_kernel
+from ..ops.kernels import kernel_name
 from . import core
 from .params import init_params, merge_hyperparams
 from .spec import (

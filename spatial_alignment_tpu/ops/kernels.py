@@ -15,8 +15,6 @@ materialize an (N, M, D) intermediate in HBM).
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 import numpy as np
 

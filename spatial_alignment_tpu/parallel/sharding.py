@@ -22,11 +22,10 @@ fused ELBO graph and inserts the (single) gradient all-reduce.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.spec import ModelSpec
