@@ -44,14 +44,14 @@ def main():
     )
     loop, opt_state = model.make_train_loop(lr=1e-2, S=5)
     carry = (model.params, opt_state, jax.random.PRNGKey(0))
+    chunk = 100
     t0 = time.time()
-    carry, losses = loop(carry, 10)
+    carry, losses = loop(carry, chunk)  # compile + first chunk
     losses.block_until_ready()
     compile_s = time.time() - t0
 
-    chunk = 100
     t0 = time.time()
-    carry, losses = loop(carry, chunk)
+    carry, losses = loop(carry, chunk)  # steady state (same static chunk -> cached)
     losses.block_until_ready()
     dt = time.time() - t0
 
