@@ -134,6 +134,7 @@ def warp_layer(
     X_all: jnp.ndarray,  # (V, Ntot, D) padded observed coords
     key: jax.Array,
     S: int,
+    temperature=1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, WarpAux]:
     """Per-view warp GP posterior + S reparameterized samples.
 
@@ -172,6 +173,11 @@ def warp_layer(
         scale = sigma
     else:
         scale = jnp.sqrt(jnp.maximum(sigma, _VAR_FLOOR))
+    # Optional warp-noise tempering (annealing heuristic; 1.0 = exact ELBO).
+    # The reference's sample-scale bug effectively trains with near-zero warp
+    # noise, which tightens converged alignment; a decaying temperature gets
+    # that benefit without mis-scaled samples.
+    scale = scale * temperature
 
     noise = jax.random.normal(key, (S,) + mu_tilde.shape, mu_tilde.dtype)
     samples = mu_tilde[None] + scale[None] * noise  # (S, V, Ntot, D)
@@ -294,6 +300,7 @@ def forward(
     key: jax.Array,
     S: int = 1,
     G_test: Optional[Dict[str, jnp.ndarray]] = None,
+    temperature=1.0,
 ) -> ForwardResult:
     """Full two-layer forward pass (parity: vgpsa.py:212-489).
 
@@ -305,7 +312,7 @@ def forward(
     with jax.default_matmul_precision("highest"):
         k_warp, k_data, k_test = jax.random.split(key, 3)
         X_all, _ = _concat_modalities(spec, batch)
-        G_mean_all, G_sample_all, warp_aux = warp_layer(spec, hp, X_all, k_warp, S)
+        G_mean_all, G_sample_all, warp_aux = warp_layer(spec, hp, X_all, k_warp, S, temperature)
         G_means = _split_modalities(spec, G_mean_all, axis=1)
         G_samples = _split_modalities(spec, G_sample_all, axis=2)
         F_latent, F_obs, data_aux = data_layer(spec, hp, G_samples, k_data)
@@ -392,12 +399,16 @@ def negative_elbo(
     batch: Dict[str, Dict[str, jnp.ndarray]],
     key: jax.Array,
     S: int,
+    temperature=1.0,
 ) -> jnp.ndarray:
-    """The training loss: -E[log p(y|f)] + KL (vgpsa.py:540). One jittable fn."""
+    """The training loss: -E[log p(y|f)] + KL (vgpsa.py:540). One jittable fn.
+
+    ``temperature`` scales the warp-layer sample noise (annealing option;
+    1.0 = the exact reparameterized ELBO)."""
     hp = dict(consts)
     hp.update(params)
     with jax.default_matmul_precision("highest"):
-        result = forward(spec, hp, batch, key, S)
+        result = forward(spec, hp, batch, key, S, temperature=temperature)
         LL, KL = elbo_terms(spec, hp, batch, result, S)
         return -LL + KL
 

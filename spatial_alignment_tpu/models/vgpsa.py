@@ -343,19 +343,28 @@ class VariationalGPSA:
         opt_state = tx.init(self.params)
         spec, consts, batch = self.spec, self.consts, self._batch
 
-        def one(carry, _):
+        def one(carry, temp):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
             loss, grads = jax.value_and_grad(core.negative_elbo, argnums=1)(
-                spec, params, consts, batch, sub, S
+                spec, params, consts, batch, sub, S, temp
             )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, key), loss
 
-        @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
-        def loop(carry, n):
-            return jax.lax.scan(one, carry, None, length=n)
+        @partial(jax.jit, donate_argnums=(0,))
+        def scan_loop(carry, temps):
+            return jax.lax.scan(one, carry, temps)
+
+        def loop(carry, n_or_temps):
+            # accepts a step count (temperature 1 = exact ELBO) or a
+            # per-step warp-noise temperature array (annealing)
+            if isinstance(n_or_temps, (int, np.integer)):
+                temps = jnp.ones(int(n_or_temps), jnp.float32)
+            else:
+                temps = jnp.asarray(n_or_temps, jnp.float32)
+            return scan_loop(carry, temps)
 
         return loop, opt_state
 
@@ -368,6 +377,7 @@ class VariationalGPSA:
         callback=None,
         convergence_checker=None,
         chunk_size: Optional[int] = None,
+        warp_temperature_schedule=None,
     ) -> np.ndarray:
         """Adam training loop (reference pattern: examples/grid_example.py:59-88).
 
@@ -375,6 +385,8 @@ class VariationalGPSA:
         loss trace. ``callback(model, epoch, losses)`` fires every
         ``print_every`` epochs; ``convergence_checker(iternum, loss_trace)``
         can stop early (checked at chunk granularity; see utils.convergence).
+        ``warp_temperature_schedule(epoch_array) -> temps`` anneals the
+        warp-layer sample noise (None = constant 1.0, the exact ELBO).
         """
         loop, opt_state = self.make_train_loop(lr=lr, S=S)
         if chunk_size is None:
@@ -386,7 +398,13 @@ class VariationalGPSA:
         t = 0
         while t < n_epochs:
             n = min(chunk_size, n_epochs - t)
-            carry, chunk_losses = loop(carry, n)
+            if warp_temperature_schedule is not None:
+                arg = np.asarray(
+                    warp_temperature_schedule(np.arange(t, t + n)), np.float32
+                )
+            else:
+                arg = n
+            carry, chunk_losses = loop(carry, arg)
             losses[t : t + n] = np.asarray(chunk_losses, np.float64)
             if print_every and t % print_every == 0:
                 print(f"Iter: {t:<10} LL {-losses[t]:1.3e}", flush=True)
