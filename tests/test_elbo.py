@@ -145,3 +145,30 @@ def test_noise_variance_indexing_multimodal(rng):
     p2["noise_variance"] = jnp.asarray(nv)
     pert = float(core.negative_elbo(model.spec, p2, model.consts, model._batch, key, 2))
     np.testing.assert_allclose(base, pert, rtol=1e-6)
+
+
+def test_warp_temperature_zero_gives_deterministic_warp(two_view_data):
+    """temperature=0 must collapse warp samples onto the posterior mean."""
+    model = _model(two_view_data)
+    key = jax.random.PRNGKey(0)
+    from spatial_alignment_tpu.models.params import merge_hyperparams
+
+    hp = merge_hyperparams(model.params, model.consts)
+    res = core.forward(model.spec, hp, model._batch, key, S=3, temperature=0.0)
+    G_mean = np.asarray(res.G_means["expression"])
+    for s in range(3):
+        np.testing.assert_allclose(
+            np.asarray(res.G_samples["expression"][s]), G_mean, atol=1e-6
+        )
+    # data-layer sampling is unaffected (still stochastic)
+    assert not np.allclose(
+        np.asarray(res.F_latent_samples["expression"][0]),
+        np.asarray(res.F_latent_samples["expression"][1]),
+    )
+
+
+def test_fit_with_temperature_schedule(two_view_data):
+    model = _model(two_view_data)
+    sched = lambda t: 1.0 - 0.9 * t / 20.0
+    losses = model.fit(20, S=2, warp_temperature_schedule=sched, chunk_size=5)
+    assert np.isfinite(losses).all() and len(losses) == 20
