@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--no-plot", action="store_true")
     args = ap.parse_args()
 
+    default_h5ad = os.path.join(os.path.dirname(__file__), "synthetic_data.h5ad")
+    if args.h5ad is None and os.path.exists(default_h5ad):
+        args.h5ad = default_h5ad  # parity: the reference reads this file
     if args.h5ad:
         X, Y, n_samples_list = load_h5ad(args.h5ad)
     else:

@@ -103,7 +103,7 @@ def main():
         }
     }
     vi_t, Ns_t, _, _ = model.create_view_idx_dict(test_dict)
-    _, _, _, F_test = model.forward(
+    G_means_test, _, _, F_test = model.forward(
         {"expression": X_test}, vi_t, Ns_t, prediction_mode=True, S=10
     )
     preds = F_test["expression"].mean(axis=0)
@@ -118,9 +118,24 @@ def main():
         ]
     )
 
-    # KNN baseline on unaligned coords (slideseq_prediction.py:400-402)
+    # GPR refit on ALIGNED coordinates (the reference's winning variant)
     from sklearn.neighbors import KNeighborsRegressor
 
+    G_train, _, _, _ = model.forward({"expression": X_train}, vi, Ns)
+    knn_aligned = KNeighborsRegressor(n_neighbors=5).fit(
+        G_train["expression"], Y_train
+    )
+    preds_aligned = knn_aligned.predict(G_means_test["expression"])
+    r_gpsa_knn = np.array(
+        [
+            pearsonr(Y_test[:, g], preds_aligned[:, g]).statistic
+            if np.std(preds_aligned[:, g]) > 0
+            else 0.0
+            for g in range(Y_test.shape[1])
+        ]
+    )
+
+    # KNN baseline on unaligned coords (slideseq_prediction.py:400-402)
     knn = KNeighborsRegressor(n_neighbors=5).fit(X_train, Y_train)
     preds_knn = knn.predict(X_test)
     r_knn = np.array(
@@ -136,6 +151,7 @@ def main():
         "source": source,
         "final_loss": float(losses[-1]),
         "pearson_r_gpsa_mean": float(np.nanmean(r_gpsa)),
+        "pearson_r_gpsa_knn_aligned_mean": float(np.nanmean(r_gpsa_knn)),
         "pearson_r_knn_mean": float(np.nanmean(r_knn)),
         "n_train": int(X_train.shape[0]),
         "n_test": int(X_test.shape[0]),

@@ -207,7 +207,7 @@ def synthetic_slideseq_like(
     Y0 = _gp_expression(base / 2.0, n_genes, rng, lengthscale=1.0)
     coords2 = rotate_coords(base, rotation)
     sub = rng.choice(n_beads, max(200, n_beads // 10), replace=False)
-    Kw = rbf_kernel_numpy(base[sub], base[sub], np.array([np.log(0.05), np.log(5.0)]))
+    Kw = rbf_kernel_numpy(base[sub], base[sub], np.array([np.log(0.3), np.log(5.0)]))
     # low-rank smooth warp from a subset (keeps the host-side MVN cheap)
     Lw = np.linalg.cholesky(Kw + 1e-8 * np.eye(len(sub)))
     w_sub = Lw @ rng.standard_normal((len(sub), 2))
@@ -234,7 +234,7 @@ def synthetic_st_like(
     Y0 = _gp_expression(base / 2.0, n_genes, rng, lengthscale=1.0)
     coords_list, counts_list = [], []
     for s in range(n_slices):
-        Kw = rbf_kernel_numpy(base, base, np.array([np.log(0.08), np.log(5.0)]))
+        Kw = rbf_kernel_numpy(base, base, np.array([np.log(0.25), np.log(5.0)]))
         Lw = np.linalg.cholesky(Kw + 1e-8 * np.eye(base.shape[0]))
         warp = Lw @ rng.standard_normal((base.shape[0], 2)) if s else 0.0
         coords_list.append(base + warp)
