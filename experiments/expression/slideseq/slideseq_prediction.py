@@ -37,7 +37,7 @@ FRAC_TEST = 0.2
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--h5ad", nargs=2, default=None)
-    ap.add_argument("--epochs", type=int, default=2000)
+    ap.add_argument("--epochs", type=int, default=4000)
     ap.add_argument("--rotate", type=float, default=-20.0,
                     help="coarse pre-rotation of puck 2 (degrees)")
     ap.add_argument("--n-beads", type=int, default=1500)

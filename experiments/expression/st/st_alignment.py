@@ -32,7 +32,7 @@ FIXED_VIEW_IDX = 1
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", nargs=4, default=None)
-    ap.add_argument("--epochs", type=int, default=2000)
+    ap.add_argument("--epochs", type=int, default=4000)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 

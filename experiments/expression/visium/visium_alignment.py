@@ -47,7 +47,7 @@ def load(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--h5ad", nargs=2, default=None)
-    ap.add_argument("--epochs", type=int, default=2000)
+    ap.add_argument("--epochs", type=int, default=5000)
     ap.add_argument("--m", type=int, default=M)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()

@@ -28,7 +28,7 @@ from spatial_alignment_tpu.utils import morans_i
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--from-scratch", action="store_true")
-    ap.add_argument("--epochs", type=int, default=1500)
+    ap.add_argument("--epochs", type=int, default=5000)
     args = ap.parse_args()
 
     out_dir = os.path.join(os.path.dirname(__file__), "out")

@@ -25,7 +25,7 @@ FRAC_TEST = 0.2
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--h5ad", nargs=2, default=None)
-    ap.add_argument("--epochs", type=int, default=2000)
+    ap.add_argument("--epochs", type=int, default=4000)
     ap.add_argument("--m", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()

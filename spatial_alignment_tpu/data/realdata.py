@@ -188,7 +188,7 @@ def synthetic_visium_like(
         if s == 0:
             coords_list.append(base.copy())
         else:
-            Kw = rbf_kernel_numpy(base, base, np.array([np.log(0.1), np.log(5.0)]))
+            Kw = rbf_kernel_numpy(base, base, np.array([np.log(0.25), np.log(5.0)]))
             Lw = np.linalg.cholesky(Kw + 1e-8 * np.eye(n_spots))
             coords_list.append(base + Lw @ rng.standard_normal((n_spots, 2)))
         counts_list.append(Y0 + 0.05 * rng.standard_normal(Y0.shape))
