@@ -135,11 +135,15 @@ def warp_layer(
     key: jax.Array,
     S: int,
     temperature=1.0,
+    noise: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, WarpAux]:
     """Per-view warp GP posterior + S reparameterized samples.
 
     Returns (G_mean (V, Ntot, D), G_samples (S, V, Ntot, D), aux).
     Vectorized replacement for the reference view loop (vgpsa.py:259-351).
+    ``noise`` overrides the internal (S, V, Ntot, D) standard-normal draw
+    (used by the shard_map executor to keep shards bit-identical to the
+    single-device program).
     """
     kern = get_kernel(spec.kernel_warp)
     eps = spec.diagonal_offset
@@ -179,7 +183,8 @@ def warp_layer(
     # that benefit without mis-scaled samples.
     scale = scale * temperature
 
-    noise = jax.random.normal(key, (S,) + mu_tilde.shape, mu_tilde.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, (S,) + mu_tilde.shape, mu_tilde.dtype)
     samples = mu_tilde[None] + scale[None] * noise  # (S, V, Ntot, D)
 
     if spec.any_fixed_view:
@@ -200,6 +205,7 @@ def data_layer(
     hp: dict,
     G_samples: Dict[str, jnp.ndarray],  # {mod: (S, V, Np, D)}
     key: jax.Array,
+    noise: Optional[Dict[str, jnp.ndarray]] = None,  # {mod: (S, V*Np, L)}
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], DataAux]:
     """Multi-output data GP evaluated at the sampled aligned coordinates.
 
@@ -230,8 +236,12 @@ def data_layer(
             kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps
         )
         # mu_t: (S, N, L); sig: (S, L, N)
-        noise = jax.random.normal(kk, mu_t.shape, mu_t.dtype)
-        lat = mu_t + jnp.sqrt(jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)) * noise
+        eps_f = (
+            noise[mod.name]
+            if noise is not None
+            else jax.random.normal(kk, mu_t.shape, mu_t.dtype)
+        )
+        lat = mu_t + jnp.sqrt(jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)) * eps_f
         obs = lat @ hp["W"][mod.name] if mod.use_lmc else lat
         F_latent[mod.name] = lat.reshape(S, V, Np, mod.n_latent)
         F_obs[mod.name] = obs.reshape(S, V, Np, mod.n_outputs)

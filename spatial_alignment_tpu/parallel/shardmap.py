@@ -1,0 +1,147 @@
+"""Explicit-collective ELBO executor built on jax.shard_map.
+
+Complement to the committed-layout pjit path (sharding.py, where XLA infers
+the collectives): here the SPMD program is written explicitly — each shard
+owns a slice of the point axis, computes its local likelihood contribution,
+and a ``psum`` over the data axis produces the global ELBO. KL terms depend
+only on (replicated) parameters and are computed identically on every shard.
+
+Exactness design: every shard draws the FULL (S, V, N, D) / (S, N, L) noise
+tensors from the same key and slices its local block, so the psum'd ELBO is
+bit-identical to the single-device program — verified in
+tests/test_sharding.py. The redundant noise generation is a few hundred KB
+per shard, noise next to the Gram work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import core
+from ..models.spec import ModelSpec
+from .sharding import DATA_AXIS
+
+try:  # jax>=0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _local_spec(spec: ModelSpec, n_shards: int) -> ModelSpec:
+    """Spec whose per-view padded sizes are the per-shard slice sizes."""
+    mods = []
+    for m in spec.modalities:
+        if m.n_padded % n_shards:
+            raise ValueError(
+                f"modality {m.name!r}: n_padded={m.n_padded} not divisible by "
+                f"{n_shards} shards; construct the model with pad_multiple={n_shards}"
+            )
+        mods.append(dataclasses.replace(m, n_padded=m.n_padded // n_shards))
+    return spec.replace(modalities=tuple(mods))
+
+
+def make_shardmap_neg_elbo(spec: ModelSpec, mesh: Mesh, consts: dict, S: int):
+    """Returns neg_elbo(params, batch, key) -> scalar, executed SPMD over the
+    mesh's data axis with explicit psum of the likelihood."""
+    n_shards = mesh.shape[DATA_AXIS]
+    lspec = _local_spec(spec, n_shards)
+
+    def local_fn(params, consts, batch, key):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        hp = dict(consts)
+        hp.update(params)
+        k_warp, k_data = jax.random.split(key, 2)
+
+        with jax.default_matmul_precision("highest"):
+            # Full noise tensors, sliced to this shard's point block — keeps
+            # every shard's draws identical to the single-device program.
+            X_all_local, _ = core._concat_modalities(lspec, batch)
+            V, n_tot_local, D = X_all_local.shape
+            # warp noise is drawn per modality block to mirror the global
+            # concat layout: global Ntot = sum over modalities of n_padded
+            w_noise_parts = []
+            off_global = 0
+            off_check = 0
+            full_shapes = [(m.n_padded, m.n_latent) for m in spec.modalities]
+            full_ntot = sum(m.n_padded for m in spec.modalities)
+            w_full = jax.random.normal(
+                k_warp, (S, V, full_ntot, D), X_all_local.dtype
+            )
+            for m_full, m_local in zip(spec.modalities, lspec.modalities):
+                start = off_global + idx * m_local.n_padded
+                w_noise_parts.append(
+                    jax.lax.dynamic_slice_in_dim(w_full, start, m_local.n_padded, axis=2)
+                )
+                off_global += m_full.n_padded
+            w_noise = jnp.concatenate(w_noise_parts, axis=2)
+
+            G_mean, G_samp, warp_aux = core.warp_layer(
+                lspec, hp, X_all_local, k_warp, S, noise=w_noise
+            )
+            G_samples = core._split_modalities(lspec, G_samp, axis=2)
+
+            keys_f = jax.random.split(k_data, spec.n_modalities)
+            f_noise = {}
+            for kk, m_full, m_local in zip(keys_f, spec.modalities, lspec.modalities):
+                full = jax.random.normal(
+                    kk, (S, spec.n_views * m_full.n_padded, m_full.n_latent)
+                )
+                full = full.reshape(S, spec.n_views, m_full.n_padded, m_full.n_latent)
+                loc = jax.lax.dynamic_slice_in_dim(
+                    full, idx * m_local.n_padded, m_local.n_padded, axis=2
+                )
+                f_noise[m_full.name] = loc.reshape(
+                    S, spec.n_views * m_local.n_padded, m_full.n_latent
+                )
+
+            F_latent, F_obs, data_aux = core.data_layer(
+                lspec, hp, G_samples, k_data, noise=f_noise
+            )
+
+            # local masked likelihood, reduced over the data axis
+            noise_pos = jnp.exp(hp["noise_variance"]) + spec.diagonal_offset
+            LL_local = jnp.zeros(())
+            for mm, mod in enumerate(lspec.modalities):
+                scale = noise_pos[-spec.n_modalities + mm]
+                LL_local = LL_local + (
+                    core.gaussian_loglik_sum(
+                        batch[mod.name]["outputs"],
+                        F_obs[mod.name],
+                        scale,
+                        batch[mod.name]["mask"],
+                    )
+                    / S
+                )
+            LL = jax.lax.psum(LL_local, DATA_AXIS)
+
+            # KL depends only on replicated params — identical on all shards
+            KL = core.kl_divergence(lspec, hp, warp_aux, data_aux)
+            return -LL + KL
+
+    batch_specs = {
+        m.name: {
+            "coords": P(None, DATA_AXIS, None),
+            "outputs": P(None, DATA_AXIS, None),
+            "mask": P(None, DATA_AXIS),
+        }
+        for m in spec.modalities
+    }
+    fn = shard_map(
+        partial(local_fn),
+        mesh=mesh,
+        in_specs=(P(), P(), batch_specs, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def neg_elbo(params, batch, key):
+        return fn(params, consts, batch, key)
+
+    return neg_elbo

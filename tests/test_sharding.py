@@ -93,3 +93,36 @@ def test_pad_multiple_mismatch_raises():
     m = _model(data)  # n_padded = 30, not divisible by 4
     with pytest.raises(ValueError, match="pad_multiple"):
         distribute(m, make_mesh(4))
+
+
+def test_shardmap_elbo_bit_identical_to_single_device():
+    """The explicit-collective shard_map executor must reproduce the
+    single-device ELBO exactly (same keys, full-noise-then-slice design)."""
+    from spatial_alignment_tpu.parallel import make_shardmap_neg_elbo
+
+    data = make_two_view_data(n_per_view=24, n_outputs=4)
+    model = _model(data, pad_multiple=4, n_latent_gps={"expression": 2})
+    mesh = make_mesh(4)
+    key = jax.random.PRNGKey(11)
+    neg_elbo = make_shardmap_neg_elbo(model.spec, mesh, model.consts, S=3)
+    e_shard = float(neg_elbo(model.params, model._batch, key))
+    e_single = float(
+        core.negative_elbo(model.spec, model.params, model.consts, model._batch, key, 3)
+    )
+    np.testing.assert_allclose(e_shard, e_single, rtol=1e-5)
+
+
+def test_shardmap_grads_match_single_device():
+    from spatial_alignment_tpu.parallel import make_shardmap_neg_elbo
+
+    data = make_two_view_data(n_per_view=16, n_outputs=3)
+    model = _model(data, pad_multiple=8)
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(2)
+    neg_elbo = make_shardmap_neg_elbo(model.spec, mesh, model.consts, S=2)
+    g_shard = jax.grad(lambda p: neg_elbo(p, model._batch, key))(model.params)
+    g_single = jax.grad(
+        lambda p: core.negative_elbo(model.spec, p, model.consts, model._batch, key, 2)
+    )(model.params)
+    for a, b in zip(jax.tree.leaves(g_shard), jax.tree.leaves(g_single)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
