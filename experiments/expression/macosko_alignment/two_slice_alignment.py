@@ -27,7 +27,7 @@ from spatial_alignment_tpu.data import (
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--h5ad", nargs=2, default=None)
-    ap.add_argument("--epochs", type=int, default=3000)
+    ap.add_argument("--epochs", type=int, default=6000)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 

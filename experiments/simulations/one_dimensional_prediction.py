@@ -48,9 +48,9 @@ def main():
             "n_samples_list": [n_per, len(keep_local)],
         }
     }
-    # grid_init exercised here, parity with the reference's 1-D prediction
+    # grid_init=True: parity with the reference's 1-D prediction (:115)
     model = VariationalGPSA(
-        dd, m_X_per_view=20, m_G=20, data_init=False, grid_init=False,
+        dd, m_X_per_view=20, m_G=20, data_init=False, grid_init=True,
         n_latent_gps={"expression": 2}, fixed_view_idx=0, seed=args.seed,
     )
     vi, Ns, _, _ = model.create_view_idx_dict(dd)

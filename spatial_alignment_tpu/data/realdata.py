@@ -182,7 +182,10 @@ def synthetic_visium_like(
     them — stand-in for the Visium mouse-brain pair."""
     rng = np.random.default_rng(seed)
     base = rng.uniform(0, 10, (n_spots, 2))
-    Y0 = _gp_expression(base / 2.0, n_genes, rng, lengthscale=1.0)
+    # short-lengthscale expression: sharp spatial structure pins the warp
+    # (overly smooth stand-in genes leave the m=200 warp under-constrained
+    # and the free view can drift)
+    Y0 = _gp_expression(base / 2.0, n_genes, rng, lengthscale=0.5)
     coords_list, counts_list = [], []
     for s in range(n_slices):
         if s == 0:

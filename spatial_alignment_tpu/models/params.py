@@ -87,15 +87,21 @@ def init_inducing(
 
     if grid_init and data_dict is not None:
         first = _as_numpy(data_dict[spec.modality_names[0]]["spatial_coords"])
-        if D != 2:
-            raise ValueError("grid_init currently supports 2 spatial dims (parity: vgpsa.py:96)")
         lows, highs = first.min(0), first.max(0)
-        numticks = int(np.ceil(np.sqrt(spec.m_G)))
-        m = numticks**2
-        x1 = np.linspace(lows[0], highs[0], numticks)
-        x2 = np.linspace(lows[1], highs[1], numticks)
-        G1, G2 = np.meshgrid(x1, x2)
-        grid = np.vstack([G1.ravel(), G2.ravel()]).T.astype(np.float32)
+        if D == 1:
+            grid = np.linspace(lows[0], highs[0], spec.m_G).reshape(-1, 1)
+            grid = grid.astype(np.float32)
+            m = spec.m_G
+        elif D == 2:
+            # rounds m up to a square (parity: vgpsa.py:105-107)
+            numticks = int(np.ceil(np.sqrt(spec.m_G)))
+            m = numticks**2
+            x1 = np.linspace(lows[0], highs[0], numticks)
+            x2 = np.linspace(lows[1], highs[1], numticks)
+            G1, G2 = np.meshgrid(x1, x2)
+            grid = np.vstack([G1.ravel(), G2.ravel()]).T.astype(np.float32)
+        else:
+            raise ValueError("grid_init supports 1 or 2 spatial dims")
         Xtilde = np.tile(grid[None], (V, 1, 1))
         spec = spec.replace(m_G=m, m_X_per_view=m)
         return Xtilde, grid, spec

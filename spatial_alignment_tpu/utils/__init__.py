@@ -12,3 +12,4 @@ from .preprocess import (
 )
 from .checkpoint import save_checkpoint, load_checkpoint
 from .metrics import morans_i, landmark_distances
+from .profiling import StepTimer, trace, enable_debug

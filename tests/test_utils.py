@@ -144,3 +144,26 @@ def test_landmark_distances():
     np.testing.assert_allclose(landmark_distances(a, b), 5.0)
     with pytest.raises(ValueError):
         landmark_distances(a, b[:2])
+
+
+def test_step_timer_excludes_warmup():
+    import time as _time
+    from spatial_alignment_tpu.utils import StepTimer
+
+    timer = StepTimer(warmup=2)
+    for i in range(5):
+        with timer.lap():
+            _time.sleep(0.01)
+    assert timer.n == 3
+    assert 0.005 < timer.seconds_per_step < 0.1
+
+
+def test_enable_debug_toggles(monkeypatch):
+    import jax
+    from spatial_alignment_tpu.utils import enable_debug
+
+    try:
+        enable_debug(nans=True)
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
