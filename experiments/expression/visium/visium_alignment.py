@@ -77,12 +77,21 @@ def main():
             "n_samples_list": n_samples_list,
         }
     }
+    # Fixed warp-kernel hyperparameters guard against the warp-drift
+    # degeneracy (the free view migrating to a separate latent region that
+    # the data GP memorizes independently). The reference experimented with
+    # exactly this (visium_alignment.py:209-210, commented) and its
+    # prediction harnesses ship it enabled (two_dimensional_prediction.py:
+    # 96-118).
+    n_views = len(n_samples_list)
     model = VariationalGPSA(
         data_dict,
         m_X_per_view=min(args.m, min(n_samples_list)),
         m_G=min(args.m, min(n_samples_list)),
         n_latent_gps=N_LATENT_GPS,
         fixed_view_idx=0,
+        fixed_warp_kernel_variances=np.ones(n_views) * 0.5,
+        fixed_warp_kernel_lengthscales=np.ones(n_views) * 10.0,
         seed=args.seed,
     )
     vi, Ns, _, _ = model.create_view_idx_dict(data_dict)
