@@ -29,7 +29,7 @@ from spatial_alignment_tpu.data import (
     synthetic_visium_like,
 )
 
-N_GENES = 10
+N_GENES = 20
 M = 200
 N_LATENT_GPS = {"expression": None}
 
@@ -41,6 +41,8 @@ def load(args):
         counts = [np.asarray(s["X"], dtype=float) for s in slices]
         return coords, counts, "real"
     coords, counts = synthetic_visium_like(n_spots=600, n_genes=50)
+    args.m = min(args.m, 100)  # the stand-in's GP genes carry less spatial
+    # information per gene than real Visium data; m=200 over-parameterizes
     return coords, counts, "synthetic stand-in"
 
 

@@ -191,7 +191,7 @@ def synthetic_visium_like(
         if s == 0:
             coords_list.append(base.copy())
         else:
-            Kw = rbf_kernel_numpy(base, base, np.array([np.log(0.25), np.log(5.0)]))
+            Kw = rbf_kernel_numpy(base, base, np.array([np.log(0.5), np.log(5.0)]))
             Lw = np.linalg.cholesky(Kw + 1e-8 * np.eye(n_spots))
             coords_list.append(base + Lw @ rng.standard_normal((n_spots, 2)))
         counts_list.append(Y0 + 0.05 * rng.standard_normal(Y0.shape))
@@ -237,7 +237,7 @@ def synthetic_st_like(
     Y0 = _gp_expression(base / 2.0, n_genes, rng, lengthscale=1.0)
     coords_list, counts_list = [], []
     for s in range(n_slices):
-        Kw = rbf_kernel_numpy(base, base, np.array([np.log(0.25), np.log(5.0)]))
+        Kw = rbf_kernel_numpy(base, base, np.array([np.log(0.5), np.log(5.0)]))
         Lw = np.linalg.cholesky(Kw + 1e-8 * np.eye(base.shape[0]))
         warp = Lw @ rng.standard_normal((base.shape[0], 2)) if s else 0.0
         coords_list.append(base + warp)
