@@ -200,6 +200,17 @@ def warp_layer(
 # ---------------------------------------------------------------------------
 
 
+def _pick_chunk(n: int, requested) -> Optional[int]:
+    """Largest divisor of n that is <= the requested chunk size (None = no
+    chunking, or when n already fits in one chunk)."""
+    if requested is None or n <= requested:
+        return None
+    nc = -(-n // requested)
+    while n % nc:
+        nc += 1
+    return n // nc
+
+
 def data_layer(
     spec: ModelSpec,
     hp: dict,
@@ -222,26 +233,49 @@ def data_layer(
     keys = jax.random.split(key, spec.n_modalities)
     for kk, mod in zip(keys, spec.modalities):
         S, V, Np, D = G_samples[mod.name].shape
-        G = G_samples[mod.name].reshape(S, V * Np, D)
-        # S-batched cross-Gram — the FLOP peak at scale (vgpsa.py:409 analog);
-        # dispatches to the fused Pallas kernel on TPU for large N.
-        Kuf = gram(hp["Gtilde"], G, ls, var, spec.kernel_data)  # (S, m_G, N)
-        kff = jnp.exp(var) * jnp.ones((S, V * Np), G.dtype)  # vgpsa.py:405-407
+        N = V * Np
+        G = G_samples[mod.name].reshape(S, N, D)
         Om_sqt = hp["Omega_sqt_F"][mod.name]
         Om_tril = jittered_cholesky(
             Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps
         )  # (L, m_G, m_G)
         delta = hp["delta_F"][mod.name]  # (m_G, L)
-        mu_t, sig = svgp_mean_var(
-            kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps
-        )
-        # mu_t: (S, N, L); sig: (S, L, N)
         eps_f = (
             noise[mod.name]
             if noise is not None
-            else jax.random.normal(kk, mu_t.shape, mu_t.dtype)
+            else jax.random.normal(kk, (S, N, mod.n_latent), G.dtype)
         )
-        lat = mu_t + jnp.sqrt(jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)) * eps_f
+
+        def predict_and_sample(G_pts, eps_pts):
+            """SVGP marginal + reparameterized draw at a block of points.
+
+            S-batched cross-Gram — the FLOP peak at scale (vgpsa.py:409
+            analog); dispatches to the fused Pallas kernel on TPU for large N.
+            """
+            Kuf = gram(hp["Gtilde"], G_pts, ls, var, spec.kernel_data)
+            kff = jnp.exp(var) * jnp.ones(G_pts.shape[:2], G_pts.dtype)
+            mu_t, sig = svgp_mean_var(
+                kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps
+            )
+            return mu_t + jnp.sqrt(
+                jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)
+            ) * eps_pts
+
+        chunk = _pick_chunk(N, spec.data_chunk_size)
+        if chunk is None:
+            lat = predict_and_sample(G, eps_f)
+        else:
+            # Chunk the point axis through lax.map: peak memory drops from
+            # O(S*L*N*m) (the alpha^T Omega_tril intermediate) to
+            # O(S*L*chunk*m), and gradients rematerialize per chunk. The
+            # full-tensor noise draw above keeps samples bit-identical to the
+            # unchunked path.
+            nc = N // chunk
+            G_c = jnp.swapaxes(G.reshape(S, nc, chunk, D), 0, 1)
+            e_c = jnp.swapaxes(eps_f.reshape(S, nc, chunk, mod.n_latent), 0, 1)
+            lat_c = jax.lax.map(lambda ab: predict_and_sample(*ab), (G_c, e_c))
+            lat = jnp.swapaxes(lat_c, 0, 1).reshape(S, N, mod.n_latent)
+
         obs = lat @ hp["W"][mod.name] if mod.use_lmc else lat
         F_latent[mod.name] = lat.reshape(S, V, Np, mod.n_latent)
         F_obs[mod.name] = obs.reshape(S, V, Np, mod.n_outputs)

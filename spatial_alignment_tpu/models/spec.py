@@ -67,6 +67,10 @@ class ModelSpec:
     # mathematically-correct sqrt(variance); True replicates the reference.
     reference_sample_scale: bool = False
     mean_penalty_param: float = 0.0
+    # Chunk the data-layer point axis through lax.map blocks of at most this
+    # many points (None = unchunked). Bounds the O(S*L*N*m_G) variance
+    # intermediate for very large N; samples are bit-identical either way.
+    data_chunk_size: Optional[int] = None
 
     # ---- derived helpers -------------------------------------------------
     @property
@@ -116,6 +120,7 @@ def build_spec(
     reference_sample_scale: bool = False,
     mean_penalty_param: float = 0.0,
     pad_multiple: int = 1,
+    data_chunk_size=None,
 ) -> ModelSpec:
     """Derive a ModelSpec from a reference-format data_dict.
 
@@ -190,6 +195,7 @@ def build_spec(
         diagonal_offset=diagonal_offset,
         reference_sample_scale=reference_sample_scale,
         mean_penalty_param=mean_penalty_param,
+        data_chunk_size=data_chunk_size,
     )
 
 

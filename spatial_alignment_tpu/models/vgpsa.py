@@ -83,6 +83,7 @@ class VariationalGPSA:
         reference_sample_scale: bool = False,
         diagonal_offset: float = 1e-5,
         pad_multiple: int = 1,
+        data_chunk_size: Optional[int] = None,
     ):
         del n_spatial_dims, minmax_init  # shape-driven / dead (SURVEY.md §2.4.5-6)
         spec = build_spec(
@@ -102,6 +103,7 @@ class VariationalGPSA:
             reference_sample_scale=reference_sample_scale,
             mean_penalty_param=mean_penalty_param,
             pad_multiple=pad_multiple,
+            data_chunk_size=data_chunk_size,
         )
         self.params, self.consts, self.spec = init_params(
             spec,

@@ -260,3 +260,34 @@ def test_grid_init_rounds_to_square(two_view_data):
     # 10 -> ceil(sqrt(10))^2 = 16 (parity: vgpsa.py:105-107)
     assert model.m_G == 16 and model.m_X_per_view == 16
     assert model.Gtilde.shape == (16, 2)
+
+
+def test_data_chunking_bit_identical(two_view_data):
+    """Chunked data layer must reproduce the unchunked forward exactly."""
+    import jax
+
+    m1 = _tiny_model(two_view_data, seed=2)
+    m2 = _tiny_model(two_view_data, seed=2, data_chunk_size=16)  # N=60 -> chunks of 15
+    assert m2.spec.data_chunk_size == 16
+    key = jax.random.PRNGKey(5)
+    X = two_view_data["expression"]["spatial_coords"]
+    out1 = m1.forward({"expression": X}, S=3, key=key)
+    out2 = m2.forward({"expression": X}, S=3, key=key)
+    for a, b in zip(out1, out2):
+        np.testing.assert_allclose(
+            a["expression"], b["expression"], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_data_chunking_gradients_match(two_view_data):
+    import jax
+    from spatial_alignment_tpu.models import core
+
+    m1 = _tiny_model(two_view_data, seed=2)
+    m2 = _tiny_model(two_view_data, seed=2, data_chunk_size=16)
+    key = jax.random.PRNGKey(5)
+    g1 = jax.grad(lambda p: core.negative_elbo(m1.spec, p, m1.consts, m1._batch, key, 2))(m1.params)
+    g2 = jax.grad(lambda p: core.negative_elbo(m2.spec, p, m2.consts, m2._batch, key, 2))(m2.params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        # f32 accumulation order differs between the chunked and fused paths
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
