@@ -380,6 +380,7 @@ class VariationalGPSA:
         convergence_checker=None,
         chunk_size: Optional[int] = None,
         warp_temperature_schedule=None,
+        optimizer=None,
     ) -> np.ndarray:
         """Adam training loop (reference pattern: examples/grid_example.py:59-88).
 
@@ -390,7 +391,7 @@ class VariationalGPSA:
         ``warp_temperature_schedule(epoch_array) -> temps`` anneals the
         warp-layer sample noise (None = constant 1.0, the exact ELBO).
         """
-        loop, opt_state = self.make_train_loop(lr=lr, S=S)
+        loop, opt_state = self.make_train_loop(lr=lr, S=S, optimizer=optimizer)
         if chunk_size is None:
             chunk_size = print_every or min(100, max(1, n_epochs))
         if convergence_checker is not None:
