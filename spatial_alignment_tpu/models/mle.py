@@ -23,6 +23,7 @@ reference's usage.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Optional
 
 import numpy as np
@@ -147,13 +148,15 @@ class WarpGPMLE:
         two_dimensional_mle.py:88-92)."""
         return self._loss_jit(self.params, self.consts, self._batch)
 
-    def fit(self, n_epochs: int, lr: float = 1e-2):
+    def fit(self, n_epochs: int, lr: float = 1e-2, chunk_size: int = 100):
+        """Adam training, scanned in on-device chunks (one dispatch per
+        chunk, like VariationalGPSA.fit)."""
         tx = optax.adam(lr)
         opt_state = tx.init(self.params)
         spec, consts, batch = self.spec, self.consts, self._batch
 
-        @jax.jit
-        def step(params, opt_state):
+        def one(carry, _):
+            params, opt_state = carry
             loss, grads = jax.value_and_grad(
                 lambda p: _mle_loss(spec, p, consts, batch)
             )(params)
@@ -164,14 +167,21 @@ class WarpGPMLE:
                     m: jnp.where(fixed, 0.0, g) for m, g in grads["G"].items()
                 }
             updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+        def loop(carry, n):
+            return jax.lax.scan(one, carry, None, length=n)
 
         losses = np.zeros(n_epochs)
-        params = self.params
-        for t in range(n_epochs):
-            params, opt_state, loss = step(params, opt_state)
-            losses[t] = float(loss)
-        self.params = params
+        carry = (self.params, opt_state)
+        t = 0
+        while t < n_epochs:
+            n = min(chunk_size, n_epochs - t)
+            carry, chunk_losses = loop(carry, n)
+            losses[t : t + n] = np.asarray(chunk_losses)
+            t += n
+        self.params = carry[0]
         return losses
 
 
