@@ -284,6 +284,67 @@ def data_layer(
     return F_latent, F_obs, DataAux(L_F, Om_tril_F)
 
 
+def data_layer_moments(
+    spec: ModelSpec,
+    hp: dict,
+    G_samples: Dict[str, jnp.ndarray],  # {mod: (S, V, Np, D)}
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], DataAux]:
+    """Per-point observed-output moments of the data GP (no sampling).
+
+    For the Gaussian likelihood the expected log-likelihood has a closed form
+    (standard SVGP: E_q[log N(y; f, s)] = log N(y; mu, s) - var/(2 s^2)), so
+    the data layer needs no Monte-Carlo draw — only the warp layer does (G
+    enters the kernel nonlinearly). Under the LMC, observed moments are
+    mu @ W and var @ W^2 (independent latent GPs).
+
+    Returns ({mod: mu_obs (S, V, Np, P)}, {mod: var_obs (S, V, Np, P)}, aux).
+    """
+    kern = get_kernel(spec.kernel_data)
+    eps = spec.diagonal_offset
+    ls = hp["data_kernel_lengthscale"]
+    var = hp["data_kernel_variance"]
+    L_F = jittered_cholesky(kern(hp["Gtilde"], hp["Gtilde"], ls, var), eps)
+
+    mu_obs, var_obs, Om_tril_F = {}, {}, {}
+    for mod in spec.modalities:
+        S, V, Np, D = G_samples[mod.name].shape
+        N = V * Np
+        G = G_samples[mod.name].reshape(S, N, D)
+        Om_sqt = hp["Omega_sqt_F"][mod.name]
+        Om_tril = jittered_cholesky(Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps)
+        delta = hp["delta_F"][mod.name]
+
+        def moments(G_pts):
+            Kuf = gram(hp["Gtilde"], G_pts, ls, var, spec.kernel_data)
+            kff = jnp.exp(var) * jnp.ones(G_pts.shape[:2], G_pts.dtype)
+            mu_t, sig = svgp_mean_var(
+                kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps
+            )
+            return mu_t, jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)
+
+        chunk = _pick_chunk(N, spec.data_chunk_size)
+        if chunk is None:
+            mu_t, var_t = moments(G)
+        else:
+            nc = N // chunk
+            G_c = jnp.swapaxes(G.reshape(S, nc, chunk, D), 0, 1)
+            mu_c, var_c = jax.lax.map(moments, G_c)
+            mu_t = jnp.swapaxes(mu_c, 0, 1).reshape(S, N, mod.n_latent)
+            var_t = jnp.swapaxes(var_c, 0, 1).reshape(S, N, mod.n_latent)
+
+        if mod.use_lmc:
+            W = hp["W"][mod.name]
+            mu_o = mu_t @ W
+            var_o = var_t @ jnp.square(W)
+        else:
+            mu_o, var_o = mu_t, var_t
+        mu_obs[mod.name] = mu_o.reshape(S, V, Np, mod.n_outputs)
+        var_obs[mod.name] = var_o.reshape(S, V, Np, mod.n_outputs)
+        Om_tril_F[mod.name] = Om_tril
+
+    return mu_obs, var_obs, DataAux(L_F, Om_tril_F)
+
+
 def impute_at(
     spec: ModelSpec,
     hp: dict,
@@ -448,10 +509,37 @@ def negative_elbo(
     """The training loss: -E[log p(y|f)] + KL (vgpsa.py:540). One jittable fn.
 
     ``temperature`` scales the warp-layer sample noise (annealing option;
-    1.0 = the exact reparameterized ELBO)."""
+    1.0 = the exact reparameterized ELBO). With
+    ``spec.analytic_data_likelihood`` the data-layer expectation is computed
+    in closed form (Rao-Blackwellized over F; only the warp layer is
+    sampled), removing the F-sampling gradient noise the reference carries."""
     hp = dict(consts)
     hp.update(params)
     with jax.default_matmul_precision("highest"):
+        if spec.analytic_data_likelihood:
+            k_warp, _ = jax.random.split(key, 2)
+            X_all, _ = _concat_modalities(spec, batch)
+            _, G_sample_all, warp_aux = warp_layer(
+                spec, hp, X_all, k_warp, S, temperature
+            )
+            G_samples = _split_modalities(spec, G_sample_all, axis=2)
+            mu_obs, var_obs, data_aux = data_layer_moments(spec, hp, G_samples)
+            KL = kl_divergence(spec, hp, warp_aux, data_aux)
+            noise_pos = jnp.exp(hp["noise_variance"]) + spec.diagonal_offset
+            LL = jnp.zeros(())
+            for mm, mod in enumerate(spec.modalities):
+                scale = noise_pos[-spec.n_modalities + mm]
+                y = batch[mod.name]["outputs"]
+                mask = batch[mod.name]["mask"]
+                # E_q[log N(y; f, s)] = log N(y; mu, s) - var / (2 s^2)
+                lp = (
+                    -0.5 * jnp.square((y[None] - mu_obs[mod.name]) / scale)
+                    - 0.5 * var_obs[mod.name] / jnp.square(scale)
+                    - jnp.log(scale)
+                    - 0.5 * _LOG_2PI
+                )
+                LL = LL + jnp.sum(lp * mask[None, ..., None]) / S
+            return -LL + KL
         result = forward(spec, hp, batch, key, S, temperature=temperature)
         LL, KL = elbo_terms(spec, hp, batch, result, S)
         return -LL + KL

@@ -71,6 +71,10 @@ class ModelSpec:
     # many points (None = unchunked). Bounds the O(S*L*N*m_G) variance
     # intermediate for very large N; samples are bit-identical either way.
     data_chunk_size: Optional[int] = None
+    # Compute the data-layer expected log-likelihood in closed form
+    # (Rao-Blackwellized SVGP; only the warp layer is sampled). False =
+    # reference parity (the reference samples F, vgpsa.py:423-426).
+    analytic_data_likelihood: bool = False
 
     # ---- derived helpers -------------------------------------------------
     @property
@@ -121,6 +125,7 @@ def build_spec(
     mean_penalty_param: float = 0.0,
     pad_multiple: int = 1,
     data_chunk_size=None,
+    analytic_data_likelihood: bool = False,
 ) -> ModelSpec:
     """Derive a ModelSpec from a reference-format data_dict.
 
@@ -196,6 +201,7 @@ def build_spec(
         reference_sample_scale=reference_sample_scale,
         mean_penalty_param=mean_penalty_param,
         data_chunk_size=data_chunk_size,
+        analytic_data_likelihood=analytic_data_likelihood,
     )
 
 

@@ -84,6 +84,7 @@ class VariationalGPSA:
         diagonal_offset: float = 1e-5,
         pad_multiple: int = 1,
         data_chunk_size: Optional[int] = None,
+        analytic_data_likelihood: bool = False,
     ):
         del n_spatial_dims, minmax_init  # shape-driven / dead (SURVEY.md §2.4.5-6)
         spec = build_spec(
@@ -104,6 +105,7 @@ class VariationalGPSA:
             mean_penalty_param=mean_penalty_param,
             pad_multiple=pad_multiple,
             data_chunk_size=data_chunk_size,
+            analytic_data_likelihood=analytic_data_likelihood,
         )
         self.params, self.consts, self.spec = init_params(
             spec,

@@ -172,3 +172,38 @@ def test_fit_with_temperature_schedule(two_view_data):
     sched = lambda t: 1.0 - 0.9 * t / 20.0
     losses = model.fit(20, S=2, warp_temperature_schedule=sched, chunk_size=5)
     assert np.isfinite(losses).all() and len(losses) == 20
+
+
+def test_analytic_data_likelihood_matches_sampled_expectation(two_view_data):
+    """The closed-form data-layer expectation must equal the S->inf limit of
+    the sampled estimator (same warp samples: compare at S=1 warp draw by
+    fixing the key and averaging the sampled LL over many F draws)."""
+    m_s = _model(two_view_data, seed=0)
+    m_a = _model(two_view_data, seed=0, analytic_data_likelihood=True)
+    key = jax.random.PRNGKey(3)
+    analytic = float(
+        core.negative_elbo(m_a.spec, m_a.params, m_a.consts, m_a._batch, key, 1)
+    )
+    # Monte-Carlo check: average sampled -ELBO over many keys. The warp draw
+    # differs per key too, so compare against the analytic value averaged over
+    # the same keys.
+    n_mc = 64
+    sampled = []
+    analytic_avg = []
+    for i in range(n_mc):
+        k = jax.random.PRNGKey(100 + i)
+        sampled.append(
+            float(core.negative_elbo(m_s.spec, m_s.params, m_s.consts, m_s._batch, k, 4))
+        )
+        analytic_avg.append(
+            float(core.negative_elbo(m_a.spec, m_a.params, m_a.consts, m_a._batch, k, 4))
+        )
+    # same mean up to MC error; analytic has strictly lower variance
+    assert abs(np.mean(sampled) - np.mean(analytic_avg)) < 3 * np.std(sampled) / np.sqrt(n_mc) + 2.0
+    assert np.std(analytic_avg) < np.std(sampled)
+
+
+def test_analytic_path_trains(two_view_data):
+    model = _model(two_view_data, analytic_data_likelihood=True)
+    losses = model.fit(40, S=3)
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
