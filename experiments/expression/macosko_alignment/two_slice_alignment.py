@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--h5ad", nargs=2, default=None)
     ap.add_argument("--epochs", type=int, default=6000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--auto-prealign", action="store_true")
     args = ap.parse_args()
 
     if args.h5ad:
@@ -42,7 +43,12 @@ def main():
         )
         source = "synthetic stand-in"
 
-    coords[1] = rotate_coords(coords[1], -90.0)  # coarse pre-alignment
+    if args.auto_prealign:
+        from spatial_alignment_tpu.utils import coarse_affine_prealign
+
+        coords = coarse_affine_prealign(coords, counts, template_idx=0)
+    else:
+        coords[1] = rotate_coords(coords[1], -90.0)  # coarse pre-alignment
     coords = [10 * (c - c.min(0)) / (c.max(0) - c.min(0)) for c in coords]
     Y_all = np.concatenate(counts)
     mu, sd = Y_all.mean(0), Y_all.std(0) + 1e-8

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=4000)
     ap.add_argument("--rotate", type=float, default=-20.0,
                     help="coarse pre-rotation of puck 2 (degrees)")
+    ap.add_argument("--auto-prealign", action="store_true",
+                    help="replace the manual rotation with automatic "
+                         "expression-moment affine pre-alignment")
     ap.add_argument("--n-beads", type=int, default=1500)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -58,8 +61,14 @@ def main():
     for i in range(2):
         keep = remove_outlier_spots(coords[i], n_neighbors=10, quantile=0.98)
         coords[i], counts[i] = coords[i][keep], counts[i][keep]
-    # coarse rotation pre-alignment of puck 2
-    coords[1] = rotate_coords(coords[1], args.rotate)
+    # coarse pre-alignment of puck 2: manual rotation (reference pattern) or
+    # automatic expression-moment matching
+    if args.auto_prealign:
+        from spatial_alignment_tpu.utils import coarse_affine_prealign
+
+        coords = coarse_affine_prealign(coords, counts, template_idx=0)
+    else:
+        coords[1] = rotate_coords(coords[1], args.rotate)
     # normalize to [0, 10]^2 and standardize outputs
     coords = [10 * (c - c.min(0)) / (c.max(0) - c.min(0)) for c in coords]
     Y_all = np.concatenate(counts)

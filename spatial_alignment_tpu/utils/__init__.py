@@ -13,3 +13,4 @@ from .preprocess import (
 from .checkpoint import save_checkpoint, load_checkpoint
 from .metrics import morans_i, landmark_distances
 from .profiling import StepTimer, trace, enable_debug
+from .prealign import coarse_affine_prealign, moment_align

@@ -167,3 +167,35 @@ def test_enable_debug_toggles(monkeypatch):
         assert jax.config.jax_debug_nans
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_coarse_affine_prealign_recovers_rotation(rng):
+    """A rotated+shifted copy with shared expression must be mapped back
+    onto the template by moment matching (the step the reference hand-tunes)."""
+    from spatial_alignment_tpu.utils import coarse_affine_prealign
+
+    n = 400
+    X1 = rng.uniform(0, 10, (n, 2))
+    # anisotropic, spatially-structured expression so moments are informative
+    Y1 = np.stack(
+        [np.sin(X1[:, 0] / 2.0), np.cos(X1[:, 1] / 3.0), X1[:, 0] * X1[:, 1] / 50.0],
+        axis=1,
+    )
+    theta = np.deg2rad(70.0)
+    R = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    X2 = X1 @ R.T + np.array([3.0, -2.0])
+    aligned = coarse_affine_prealign([X1, X2], [Y1, Y1], template_idx=0)
+    np.testing.assert_array_equal(aligned[0], X1)
+    resid = np.sqrt(np.mean(np.sum((aligned[1] - X1) ** 2, axis=1)))
+    assert resid < 0.3, resid
+
+
+def test_coarse_affine_prealign_identity_noop(rng):
+    from spatial_alignment_tpu.utils import coarse_affine_prealign
+
+    n = 200
+    X = rng.uniform(0, 10, (n, 2))
+    Y = np.stack([np.sin(X[:, 0]), np.cos(X[:, 1])], axis=1)
+    aligned = coarse_affine_prealign([X, X.copy()], [Y, Y.copy()])
+    resid = np.sqrt(np.mean(np.sum((aligned[1] - X) ** 2, axis=1)))
+    assert resid < 0.15, resid
