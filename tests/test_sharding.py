@@ -126,3 +126,20 @@ def test_shardmap_grads_match_single_device():
     )(model.params)
     for a, b in zip(jax.tree.leaves(g_shard), jax.tree.leaves(g_single)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
+
+
+def test_shardmap_elbo_on_2d_mesh():
+    """shard_map executor on a (data, model) mesh: the local program is
+    replicated over the model axis and must still match single-device."""
+    from spatial_alignment_tpu.parallel import make_shardmap_neg_elbo
+
+    data = make_two_view_data(n_per_view=16, n_outputs=4)
+    model = _model(data, pad_multiple=4)
+    mesh = make_mesh(8, model_parallel=2)  # data=4, model=2
+    key = jax.random.PRNGKey(7)
+    neg_elbo = make_shardmap_neg_elbo(model.spec, mesh, model.consts, S=2)
+    e_shard = float(neg_elbo(model.params, model._batch, key))
+    e_single = float(
+        core.negative_elbo(model.spec, model.params, model.consts, model._batch, key, 2)
+    )
+    np.testing.assert_allclose(e_shard, e_single, rtol=1e-5)
