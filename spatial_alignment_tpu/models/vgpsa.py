@@ -56,6 +56,11 @@ def _jit_forward(spec, hp, batch, key, S, G_test=None, with_test=False):
     return core.forward(spec, hp, batch, key, S, G_test=G_test if with_test else None)
 
 
+@partial(jax.jit, static_argnames=("spec",))
+def _jit_predict_mean(spec, hp, batch):
+    return core.predict_mean(spec, hp, batch)
+
+
 class VariationalGPSA:
     """Deep-GP spatial alignment model (TPU-native rebuild of reference GPSA)."""
 
@@ -287,6 +292,36 @@ class VariationalGPSA:
                 {m: np.asarray(v) for m, v in result.F_observed_samples_test.items()},
             )
         return G_means, G_samples, F_latent, F_obs
+
+    def predict(self, X_spatial: Dict[str, np.ndarray], view_idx=None, Ns=None):
+        """Deterministic posterior prediction at (possibly new) coordinates.
+
+        Returns (G_means, F_mean, F_var) in reference layout — aligned
+        coordinates from the warp posterior mean, and the data GP's analytic
+        output moments at them (no sampling). Prefer this over averaging
+        sampled ``forward`` outputs for held-out prediction.
+        """
+        del Ns
+        if view_idx is None:
+            view_idx = self.view_idx
+        spec = self._eval_spec(view_idx)
+        hp = merge_hyperparams(self.params, self.consts)
+        all_coords = pack_coords(spec, X_spatial)
+        batch = {}
+        for mod in spec.modalities:
+            mask = np.zeros((spec.n_views, mod.n_padded), np.float32)
+            for v, (lo, hi) in enumerate(view_slices(mod.n_samples)):
+                mask[v, : hi - lo] = 1.0
+            batch[mod.name] = {
+                "coords": all_coords[mod.name],
+                "mask": jnp.asarray(mask),
+                "outputs": jnp.zeros(
+                    (spec.n_views, mod.n_padded, mod.n_outputs), jnp.float32
+                ),
+            }
+        G_means, F_mean, F_var = _jit_predict_mean(spec, hp, batch)
+        unpack = lambda d: {m: unpack_points(spec, m, d[m]) for m in spec.modality_names}
+        return unpack(G_means), unpack(F_mean), unpack(F_var)
 
     def loss_fn(self, data_dict, F_samples):
         """Negative ELBO given observed-sample dict (parity: vgpsa.py:491-540).

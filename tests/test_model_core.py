@@ -291,3 +291,34 @@ def test_data_chunking_gradients_match(two_view_data):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         # f32 accumulation order differs between the chunked and fused paths
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
+
+
+def test_predict_mean_matches_sample_average(two_view_data):
+    """predict() must equal the S->inf average of sampled forward outputs."""
+    model = _tiny_model(two_view_data, n_latent_gps={"expression": 2}, seed=1)
+    model.fit(20, S=2)
+    X = two_view_data["expression"]["spatial_coords"]
+    G_means, F_mean, F_var = model.predict({"expression": X})
+    assert G_means["expression"].shape == (60, 2)
+    assert F_mean["expression"].shape == (60, 3)
+    assert (F_var["expression"] > 0).all()
+    # Monte-Carlo check: average many sampled forwards
+    acc = []
+    for i in range(40):
+        out = model.forward({"expression": X}, S=8, key=jax.random.PRNGKey(i))
+        acc.append(np.asarray(out[3]["expression"]).mean(axis=0))
+    mc_mean = np.mean(acc, axis=0)
+    resid = np.abs(mc_mean - F_mean["expression"]).mean()
+    spread = np.abs(mc_mean).mean()
+    assert resid < 0.05 * spread + 0.05, (resid, spread)
+
+
+def test_predict_on_new_coords(two_view_data, rng):
+    model = _tiny_model(two_view_data)
+    model.fit(10, S=2)
+    n_test = 9
+    X_test = rng.uniform(0, 10, (2 * n_test, 2)).astype(np.float32)
+    vi = {"expression": [np.arange(n_test), np.arange(n_test, 2 * n_test)]}
+    G_means, F_mean, F_var = model.predict({"expression": X_test}, vi)
+    assert F_mean["expression"].shape == (2 * n_test, 3)
+    assert np.isfinite(F_mean["expression"]).all()
