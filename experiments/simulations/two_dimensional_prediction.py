@@ -112,6 +112,10 @@ def run_once(seed):
     preds = F_samples_test["expression"].mean(axis=0)
     error_gpsa = sq_err(preds, Y_test)
 
+    # deterministic posterior-mean prediction (no sampling)
+    _, F_mean_test, _ = model.predict({"expression": X_test}, vi_test, Ns_test)
+    error_gpsa_mean = sq_err(F_mean_test["expression"], Y_test)
+
     # GPR refit on aligned coordinates (reference :236-244)
     G_means_train, _, _, _ = model.forward({"expression": X_train}, vi_train, Ns_train)
     gpr_gpsa = GaussianProcessRegressor(kernel=RBF() + WhiteKernel())
@@ -122,6 +126,7 @@ def run_once(seed):
         "union": error_union,
         "separate": error_separate,
         "gpsa": error_gpsa,
+        "gpsa_mean": error_gpsa_mean,
         "gpsa_gpr": error_gpsa_gpr,
     }
 
@@ -136,7 +141,7 @@ def main():
         results.append(res)
     agg = {
         k: float(np.mean([r[k] for r in results]))
-        for k in ["union", "separate", "gpsa", "gpsa_gpr"]
+        for k in ["union", "separate", "gpsa", "gpsa_mean", "gpsa_gpr"]
     }
     out = {"repeats": results, "mean": agg}
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
