@@ -13,6 +13,7 @@ falls back to a recorded measurement from this machine.
 """
 
 import json
+import os
 import sys
 import time
 import warnings
@@ -30,7 +31,10 @@ FALLBACK_BASELINE = 11.37
 def load_data():
     import h5py
 
-    with h5py.File("/root/reference/examples/synthetic_data.h5ad", "r") as f:
+    path = "/root/reference/examples/synthetic_data.h5ad"
+    if not os.path.exists(path):  # fall back to the shipped equivalent dataset
+        path = os.path.join(os.path.dirname(__file__), "examples", "synthetic_data.h5ad")
+    with h5py.File(path, "r") as f:
         X = np.asarray(f["obsm/spatial"]).astype(np.float32)
         Y = np.asarray(f["X"]).astype(np.float32)
         batch = np.asarray(f["obs/batch"])
