@@ -1,11 +1,17 @@
 """Count-data preprocessing and small spatial utilities (host-side numpy).
 
-Parity: /root/reference/gpsa/util/util.py:69-109,155-254. These run once on
-ingest (size factors, deviance/Pearson residuals, feature selection), so they
-stay numpy/pandas — no value in tracing them.
+Behavioral parity with the reference's preprocessing helpers
+(/root/reference/gpsa/util/util.py:69-109,155-254): size factors with unit
+geometric mean, Poisson/NB deviance machinery, analytic Pearson residuals,
+the "AxB" ST-index parser, and the pinwheel toy dataset. These run once on
+ingest, so they stay numpy/pandas — no value in tracing them. The
+implementations are original (vectorized ``xlogy`` forms, closed-form
+rotations) with the reference behavior pinned by ``tests/test_utils.py``.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import numpy as np
 import numpy.random as npr
@@ -24,124 +30,135 @@ __all__ = [
 ]
 
 
+def _as_array(m):
+    """Accept pandas objects or ndarrays; return a float ndarray view."""
+    return np.asarray(m.values if hasattr(m, "values") else m, dtype=float)
+
+
 def polar_warp(X, r, theta):
-    """x + r (cos t, sin t) — parity: util/util.py:69-70."""
-    return np.array([X[:, 0] + r * np.cos(theta), X[:, 1] + r * np.sin(theta)]).T
+    """Displace each 2-D point by radius ``r`` at angle ``theta``."""
+    offsets = np.stack([r * np.cos(theta), r * np.sin(theta)], axis=-1)
+    return np.asarray(X) + offsets
 
 
 def get_st_coordinates(df):
-    """Extract spatial coords from ST data with 'AxB'-format index
-    (util/util.py:73-84)."""
-    coor = []
-    for spot in df.index:
-        coordinates = spot.split("x")
-        coordinates = [float(i) for i in coordinates]
-        coor.append(coordinates)
-    return np.array(coor)
+    """Spatial coordinates from an ST index of ``"AxB"`` strings.
+
+    Each index entry like ``"12.5x7"`` parses to the float pair (12.5, 7.0).
+    """
+    return np.array([[float(tok) for tok in spot.split("x")] for spot in df.index])
 
 
 def compute_distance(X1, X2):
-    """Mean Euclidean row distance (util/util.py:87-88)."""
-    return np.mean(np.sqrt(np.sum((X1 - X2) ** 2, axis=1)))
+    """Mean Euclidean distance between corresponding rows."""
+    return float(np.mean(np.linalg.norm(np.asarray(X1) - np.asarray(X2), axis=1)))
 
 
-def make_pinwheel(
-    radial_std, tangential_std, num_classes, num_per_class, rate, rs=None
-):
-    """Pinwheel synthetic dataset (util/util.py:91-109; based on code by
-    Ryan P. Adams)."""
+def make_pinwheel(radial_std, tangential_std, num_classes, num_per_class, rate, rs=None):
+    """Pinwheel toy dataset: Gaussian arms swirled by a rate-scaled rotation.
+
+    Semantics match the classic autograd demo used by the reference: features
+    are anisotropic Gaussian draws shifted to radius ~1 on the x-axis, each
+    point rotated by its class angle plus ``rate * exp(radial coordinate)``.
+    """
     if rs is None:
         rs = npr.RandomState(0)
-    rads = np.linspace(0, 2 * np.pi, num_classes, endpoint=False)
-    features = rs.randn(num_classes * num_per_class, 2) * np.array(
-        [radial_std, tangential_std]
-    )
-    features[:, 0] += 1
-    labels = np.repeat(np.arange(num_classes), num_per_class)
-    angles = rads[labels] + rate * np.exp(features[:, 0])
-    rotations = np.stack(
-        [np.cos(angles), -np.sin(angles), np.sin(angles), np.cos(angles)]
-    )
-    rotations = np.reshape(rotations.T, (-1, 2, 2))
-    return np.einsum("ti,tij->tj", features, rotations)
+    n = num_classes * num_per_class
+    features = rs.randn(n, 2) * np.array([radial_std, tangential_std])
+    features[:, 0] += 1.0
+    class_angles = np.linspace(0, 2 * np.pi, num_classes, endpoint=False)
+    angles = np.repeat(class_angles, num_per_class) + rate * np.exp(features[:, 0])
+    # Row-vector rotation: (x, y) @ [[c, -s], [s, c]].
+    c, s = np.cos(angles), np.sin(angles)
+    x, y = features[:, 0], features[:, 1]
+    return np.stack([x * c + y * s, y * c - x * s], axis=1)
 
 
 def compute_size_factors(m):
-    """Poisson size factors with unit geometric mean (util/util.py:155-164).
-    ``m`` has samples in columns (pandas DataFrame or ndarray)."""
-    vals = m.values if hasattr(m, "values") else np.asarray(m)
-    sz = np.sum(vals, axis=0)
-    lsz = np.log(sz)
-    return np.exp(lsz - np.mean(lsz))
+    """Per-sample Poisson size factors, normalized to unit geometric mean.
+
+    ``m`` holds samples in columns (DataFrame or ndarray).
+    """
+    col_sums = _as_array(m).sum(axis=0)
+    geo_mean = np.exp(np.mean(np.log(col_sums)))
+    return col_sums / geo_mean
 
 
 def poisson_deviance(X, sz):
-    """Per-feature Poisson deviance (util/util.py:167-178). X: features in
-    rows, samples in columns (DataFrame)."""
-    LP = X.values / sz if hasattr(X, "values") else np.asarray(X) / sz
-    LP[LP > 0] = np.log(LP[LP > 0])
-    X = X.T
-    ll_sat = np.sum(np.multiply(X, LP.T), axis=0)
-    feature_sums = np.sum(X, axis=0)
-    ll_null = feature_sums * np.log(feature_sums / np.sum(sz))
-    return 2 * (ll_sat - ll_null)
+    """Per-feature Poisson deviance vs the constant-rate null model.
+
+    ``X`` holds features in rows and samples in columns; ``sz`` are the
+    per-sample size factors. Zero counts contribute zero to the saturated
+    log-likelihood (``xlogy`` convention).
+    """
+    counts = _as_array(X)
+    sz = np.asarray(sz, dtype=float)
+    ll_saturated = xlogy(counts, counts / sz).sum(axis=1)
+    feature_totals = counts.sum(axis=1)
+    ll_null = xlogy(feature_totals, feature_totals / sz.sum())
+    return 2.0 * (ll_saturated - ll_null)
 
 
 def deviance_feature_selection(X):
-    """Rank features by Poisson deviance (util/util.py:181-197)."""
+    """Rank features (rows of DataFrame ``X``) by Poisson deviance.
+
+    Features with zero total count are dropped. Returns
+    ``(deviances, feature_names)`` aligned with each other.
+    """
     X = X[np.sum(X, axis=1) > 0]
-    sz = compute_size_factors(X)
-    devs = poisson_deviance(X, sz)
-    gene_names = X.index.values
-    devs_values = devs.values if hasattr(devs, "values") else np.asarray(devs)
-    assert gene_names.shape[0] == devs_values.shape[0]
-    return devs_values, gene_names
+    deviances = np.asarray(poisson_deviance(X, compute_size_factors(X)))
+    names = X.index.values
+    if names.shape[0] != deviances.shape[0]:
+        raise AssertionError("feature/deviance length mismatch")
+    return deviances, names
+
+
+def _clamped_sqrt(sq):
+    """sqrt with negative inputs (fp round-off) clamped to zero, with a note."""
+    neg = sq < 0
+    if np.any(neg):
+        n_neg = int(neg.sum())
+        warnings.warn(
+            f"clamping {n_neg} negative sqrt arguments to 0 "
+            f"({100.0 * n_neg / sq.size:.4f}% of entries)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        sq = np.where(neg, 0.0, sq)
+    return np.sqrt(sq)
 
 
 def deviance_residuals(x, theta, mu=None):
-    """Deviance residuals for NB (finite theta) or Poisson (theta=inf) model
-    (util/util.py:200-235)."""
+    """Deviance residuals under an NB (finite ``theta``) or Poisson model.
+
+    When ``mu`` is omitted it defaults to the rank-1 margins estimate
+    (row totals x column totals / grand total).
+    """
+    x = np.asarray(x, dtype=float)
     if mu is None:
-        counts_sum0 = np.sum(x, axis=0, keepdims=True)
-        counts_sum1 = np.sum(x, axis=1, keepdims=True)
-        counts_sum = np.sum(x)
-        mu = counts_sum1 @ counts_sum0 / counts_sum
-
-    def remove_negatives(sqrt_term):
-        negatives_idx = sqrt_term < 0
-        if np.any(negatives_idx):
-            n_negatives = np.sum(negatives_idx)
-            print(
-                "Setting %u negative sqrt term values to 0 (%f%%)"
-                % (n_negatives, n_negatives / np.prod(sqrt_term.shape))
-            )
-            sqrt_term[negatives_idx] = 0
-
-    if np.isinf(theta):  # Poisson
-        x_minus_mu = x - mu
-        sqrt_term = 2 * (xlogy(x, x / mu) - x_minus_mu)
-        remove_negatives(sqrt_term)
-        dev = np.sign(x_minus_mu) * np.sqrt(sqrt_term)
-    else:  # Negative binomial
-        x_plus_theta = x + theta
-        sqrt_term = 2 * (
-            xlogy(x, x / mu) - (x_plus_theta) * np.log(x_plus_theta / (mu + theta))
-        )
-        remove_negatives(sqrt_term)
-        dev = np.sign(x - mu) * np.sqrt(sqrt_term)
-    return dev
+        mu = x.sum(axis=1, keepdims=True) * x.sum(axis=0, keepdims=True) / x.sum()
+    if np.isinf(theta):  # Poisson limit
+        sq = 2.0 * (xlogy(x, x / mu) - (x - mu))
+    else:  # negative binomial
+        xt = x + theta
+        sq = 2.0 * (xlogy(x, x / mu) - xt * np.log(xt / (mu + theta)))
+    return np.sign(x - mu) * _clamped_sqrt(sq)
 
 
 def pearson_residuals(counts, theta, clipping=True):
-    """Analytic Pearson residuals for the NB model, clipped to ±sqrt(N)
-    (util/util.py:238-254)."""
-    counts_sum0 = np.sum(counts, axis=0, keepdims=True)
-    counts_sum1 = np.sum(counts, axis=1, keepdims=True)
-    counts_sum = np.sum(counts)
-    mu = counts_sum1 @ counts_sum0 / counts_sum
+    """Analytic Pearson residuals for the NB model.
+
+    Uses the rank-1 margins estimate of the mean; when ``clipping`` is on,
+    residuals are clipped to ±sqrt(n_samples).
+    """
+    counts = np.asarray(counts, dtype=float)
+    mu = (
+        counts.sum(axis=1, keepdims=True)
+        * counts.sum(axis=0, keepdims=True)
+        / counts.sum()
+    )
     z = (counts - mu) / np.sqrt(mu + mu**2 / theta)
     if clipping:
-        n = counts.shape[0]
-        z[z > np.sqrt(n)] = np.sqrt(n)
-        z[z < -np.sqrt(n)] = -np.sqrt(n)
+        bound = np.sqrt(counts.shape[0])
+        z = np.clip(z, -bound, bound)
     return z
