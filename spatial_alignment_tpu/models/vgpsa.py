@@ -418,15 +418,22 @@ class VariationalGPSA:
         chunk_size: Optional[int] = None,
         warp_temperature_schedule=None,
         optimizer=None,
+        average_last: Optional[int] = None,
     ) -> np.ndarray:
         """Adam training loop (reference pattern: examples/grid_example.py:59-88).
 
         Runs in scanned on-device chunks (one dispatch per chunk). Returns the
         loss trace. ``callback(model, epoch, losses)`` fires every
-        ``print_every`` epochs; ``convergence_checker(iternum, loss_trace)``
-        can stop early (checked at chunk granularity; see utils.convergence).
+        ``print_every`` epochs (chunk boundaries are aligned to the
+        ``print_every`` grid, so no callback epoch is skipped);
+        ``convergence_checker(iternum, loss_trace)`` can stop early (checked
+        at chunk granularity; see utils.convergence).
         ``warp_temperature_schedule(epoch_array) -> temps`` anneals the
         warp-layer sample noise (None = constant 1.0, the exact ELBO).
+        ``average_last=K`` replaces the final parameters with the uniform
+        average of chunk-boundary snapshots from the last K epochs (tail /
+        Polyak averaging) — it removes the SVI sampling wobble in the
+        converged aligned coordinates.
         """
         loop, opt_state = self.make_train_loop(lr=lr, S=S, optimizer=optimizer)
         if chunk_size is None:
@@ -435,9 +442,17 @@ class VariationalGPSA:
             chunk_size = min(chunk_size, 10)
         losses = np.zeros(n_epochs, np.float64)
         carry = (self.params, opt_state, self._next_key())
+        avg_start = n_epochs - average_last if average_last else n_epochs
+        params_sum, n_snapshots = None, 0
         t = 0
         while t < n_epochs:
             n = min(chunk_size, n_epochs - t)
+            if print_every:
+                # End this chunk on the next print_every boundary so every
+                # boundary is a chunk start (callbacks can't be skipped).
+                n = min(n, print_every - t % print_every)
+            if average_last and t < avg_start:
+                n = min(n, avg_start - t)  # first snapshot lands at avg_start
             if warp_temperature_schedule is not None:
                 arg = np.asarray(
                     warp_temperature_schedule(np.arange(t, t + n)), np.float32
@@ -452,12 +467,25 @@ class VariationalGPSA:
                     self.params = carry[0]
                     callback(self, t, losses[: t + n])
             t += n
+            if average_last and t > avg_start:
+                # Snapshot at the chunk end (new arrays — safe across the
+                # donated-buffer boundary of the next loop dispatch).
+                if params_sum is None:
+                    params_sum = jax.tree.map(lambda a: a + 0, carry[0])
+                else:
+                    params_sum = jax.tree.map(
+                        lambda s, a: s + a, params_sum, carry[0]
+                    )
+                n_snapshots += 1
             if convergence_checker is not None and convergence_checker(
                 t - 1, losses
             ):
                 losses = losses[:t]
                 break
-        self.params = carry[0]
+        if n_snapshots:
+            self.params = jax.tree.map(lambda s: s / n_snapshots, params_sum)
+        else:
+            self.params = carry[0]
         return losses
 
     def save(self, path: str, step: Optional[int] = None):

@@ -207,3 +207,46 @@ def test_analytic_path_trains(two_view_data):
     model = _model(two_view_data, analytic_data_likelihood=True)
     losses = model.fit(40, S=3)
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_fit_callbacks_fire_on_every_print_boundary(two_view_data, capsys):
+    """print_every that doesn't divide chunk_size must not skip callbacks
+    (VERDICT r1 item 7: boundaries are aligned to the print_every grid)."""
+    model = _model(two_view_data)
+    seen = []
+    model.fit(
+        20,
+        S=2,
+        print_every=7,
+        chunk_size=10,
+        callback=lambda m, t, losses: seen.append(t),
+    )
+    capsys.readouterr()
+    assert seen == [0, 7, 14]
+
+
+def test_fit_average_last_tail_averaging(two_view_data):
+    """average_last=K swaps in the tail-averaged parameters: the result must
+    differ from the final-iterate params but stay close to them, and the
+    model must still evaluate finitely."""
+    m_last = _model(two_view_data, seed=0)
+    m_avg = _model(two_view_data, seed=0)
+    m_last.fit(80, S=2, chunk_size=10)
+    m_avg.fit(80, S=2, chunk_size=10, average_last=40)
+    p_last = m_last.params["delta_G"]
+    p_avg = m_avg.params["delta_G"]
+    assert not np.allclose(np.asarray(p_last), np.asarray(p_avg))
+    # averaged params are a convex combination of tail iterates -> same scale
+    np.testing.assert_allclose(
+        np.asarray(p_avg), np.asarray(p_last), atol=1.0
+    )
+    assert np.isfinite(m_avg.neg_elbo(S=2))
+
+
+def test_fit_average_last_noop_outside_window(two_view_data):
+    """average_last larger than a single chunk but with snapshots only at
+    chunk ends: averaging over the whole run still produces finite params."""
+    model = _model(two_view_data)
+    losses = model.fit(30, S=2, chunk_size=10, average_last=30)
+    assert np.isfinite(losses).all()
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(model.params))
