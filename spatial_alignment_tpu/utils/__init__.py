@@ -11,6 +11,13 @@ from .preprocess import (
     pearson_residuals,
 )
 from .checkpoint import save_checkpoint, load_checkpoint
-from .metrics import morans_i, landmark_distances
+from .metrics import morans_i, morans_i_test, landmark_distances
+from .gsea import (
+    load_gmt,
+    bh_fdr,
+    enrichment_score,
+    permutation_gsea,
+    fisher_exact_gsea,
+)
 from .profiling import StepTimer, trace, enable_debug
 from .prealign import coarse_affine_prealign, moment_align

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["morans_i", "landmark_distances"]
+__all__ = ["morans_i", "morans_i_test", "landmark_distances"]
 
 
 def _knn_weights(coords: np.ndarray, n_neighbors: int) -> "np.ndarray":
@@ -48,6 +48,41 @@ def morans_i(coords: np.ndarray, values: np.ndarray, n_neighbors: int = 6) -> np
     den = np.sum(z**2, axis=0)
     den = np.where(den == 0, 1.0, den)
     return (n / w_sum) * num / den
+
+
+def morans_i_test(
+    coords: np.ndarray, values: np.ndarray, n_neighbors: int = 6
+) -> dict:
+    """Moran's I with analytic one-sided significance under normality.
+
+    Mirrors what the reference gets from ``squidpy.gr.spatial_autocorr``
+    (visium_morans_i.py:73-143, moransi_post_alignment.py:88-113): per
+    feature, the statistic I, a normal-approximation p-value for positive
+    autocorrelation, and BH-FDR adjusted p-values. Returns
+    ``{"I": (F,), "pval_norm": (F,), "pval_norm_fdr_bh": (F,)}``.
+    """
+    from scipy.stats import norm
+
+    values = np.asarray(values, dtype=float)
+    if values.ndim == 1:
+        values = values[:, None]
+    coords = np.asarray(coords, dtype=float)
+    n = coords.shape[0]
+    W = _knn_weights(coords, n_neighbors)
+    I = morans_i(coords, values, n_neighbors=n_neighbors)
+
+    # Moments of I under the normality assumption (Cliff & Ord).
+    s0 = W.sum()
+    s1 = 0.5 * np.sum((W + W.T) ** 2)
+    s2 = np.sum((W.sum(axis=1) + W.sum(axis=0)) ** 2)
+    e_i = -1.0 / (n - 1)
+    var_i = (n**2 * s1 - n * s2 + 3 * s0**2) / ((n**2 - 1) * s0**2) - e_i**2
+    z = (I - e_i) / np.sqrt(max(var_i, 1e-30))
+    pval = norm.sf(z)  # one-sided: positive spatial autocorrelation
+
+    from .gsea import bh_fdr
+
+    return {"I": I, "pval_norm": pval, "pval_norm_fdr_bh": bh_fdr(pval)}
 
 
 def landmark_distances(

@@ -199,3 +199,75 @@ def test_coarse_affine_prealign_identity_noop(rng):
     aligned = coarse_affine_prealign([X, X.copy()], [Y, Y.copy()])
     resid = np.sqrt(np.mean(np.sum((aligned[1] - X) ** 2, axis=1)))
     assert resid < 0.15, resid
+
+
+# ---------------------------------------------------------------------------
+# GSEA (utils/gsea.py) + Moran's I significance (utils/metrics.py)
+# ---------------------------------------------------------------------------
+
+from spatial_alignment_tpu.utils import (
+    load_gmt,
+    bh_fdr,
+    enrichment_score,
+    permutation_gsea,
+    fisher_exact_gsea,
+    morans_i_test,
+)
+
+
+def test_load_gmt(tmp_path):
+    p = tmp_path / "sets.gmt"
+    p.write_text("SET_A\tdesc\tg1\tg2\tg3\nSET_B\tdesc\tg4\tg5\n")
+    sets = load_gmt(str(p))
+    assert sets == {"SET_A": ["g1", "g2", "g3"], "SET_B": ["g4", "g5"]}
+
+
+def test_bh_fdr_known_values():
+    p = np.array([0.01, 0.02, 0.03, 0.04])
+    q = bh_fdr(p)
+    np.testing.assert_allclose(q, [0.04, 0.04, 0.04, 0.04], rtol=1e-12)
+    assert bh_fdr(np.array([0.5]))[0] == 0.5
+
+
+def test_enrichment_score_top_concentration():
+    stats = np.linspace(3, -3, 100)
+    top = np.zeros(100, bool)
+    top[:10] = True
+    spread = np.zeros(100, bool)
+    spread[::10] = True
+    assert enrichment_score(stats, top) > 0.8
+    assert enrichment_score(stats, top) > abs(enrichment_score(stats, spread))
+
+
+def test_permutation_gsea_finds_planted_set(rng):
+    genes = [f"g{i}" for i in range(200)]
+    stats = rng.standard_normal(200)
+    planted = list(np.array(genes)[np.argsort(-stats)[:15]])  # top genes
+    decoy = list(rng.choice(genes, 15, replace=False))
+    res = permutation_gsea(genes, stats, {"PLANTED": planted, "DECOY": decoy},
+                           n_perm=200, seed=0)
+    by_name = {r["pathway"]: r for r in res}
+    assert by_name["PLANTED"].get("padj") < 0.05
+    assert by_name["PLANTED"]["ES"] > by_name["DECOY"]["ES"]
+
+
+def test_fisher_exact_gsea_enrichment(rng):
+    all_genes = [f"g{i}" for i in range(100)]
+    hits = [f"g{i}" for i in range(10)]
+    sets = {"GOOD": [f"g{i}" for i in range(12)],
+            "BAD": [f"g{i}" for i in range(50, 62)]}
+    res = fisher_exact_gsea(hits, all_genes, sets)
+    by_name = {r["pathway"]: r for r in res}
+    assert by_name["GOOD"]["adj_pval"] < 0.01
+    assert by_name["BAD"]["adj_pval"] > 0.5
+
+
+def test_morans_i_test_significance(rng):
+    n = 200
+    X = rng.uniform(0, 10, (n, 2))
+    smooth = np.sin(X[:, 0]) + np.cos(X[:, 1])
+    noise = rng.standard_normal(n)
+    res = morans_i_test(X, np.stack([smooth, noise], 1), n_neighbors=6)
+    assert res["pval_norm"][0] < 1e-4       # smooth field: significant
+    assert res["pval_norm"][1] > 0.01       # white noise: not
+    assert res["pval_norm_fdr_bh"][0] <= res["pval_norm"][0] * 2
