@@ -93,6 +93,23 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "multimodal.json"), "w") as f:
         json.dump(out, f, indent=2)
+    # CSV artifacts for plot_multimodal_alignment.py (reference saved-CSV flow)
+    for mod in data_dict:
+        np.savetxt(
+            os.path.join(out_dir, f"multimodal_X_{mod}.csv"),
+            data_dict[mod]["spatial_coords"], delimiter=",",
+        )
+        np.savetxt(
+            os.path.join(out_dir, f"multimodal_Y_{mod}.csv"),
+            data_dict[mod]["outputs"], delimiter=",",
+        )
+        np.savetxt(
+            os.path.join(out_dir, f"multimodal_aligned_{mod}.csv"),
+            np.asarray(G_means[mod]), delimiter=",",
+        )
+    with open(os.path.join(out_dir, "multimodal_n_samples.json"), "w") as f:
+        json.dump({m: [int(n) for n in nl] for m, nl in
+                   (("expression", n_lists[0]), ("histology", n_lists[1]))}, f)
     print(json.dumps(out, indent=2))
 
 
