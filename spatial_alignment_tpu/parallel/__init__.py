@@ -6,4 +6,4 @@ from .sharding import (
     param_shardings,
     distribute,
 )
-from .shardmap import make_shardmap_neg_elbo
+from .shardmap import make_shardmap_neg_elbo, make_shardmap_train_step

@@ -49,6 +49,45 @@ def _local_spec(spec: ModelSpec, n_shards: int) -> ModelSpec:
 def make_shardmap_neg_elbo(spec: ModelSpec, mesh: Mesh, consts: dict, S: int):
     """Returns neg_elbo(params, batch, key) -> scalar, executed SPMD over the
     mesh's data axis with explicit psum of the likelihood."""
+    fn = _build_shardmap_fn(spec, mesh, S)
+
+    @jax.jit
+    def neg_elbo(params, batch, key):
+        return fn(params, consts, batch, key)
+
+    return neg_elbo
+
+
+def make_shardmap_train_step(
+    spec: ModelSpec, mesh: Mesh, consts: dict, S: int, lr: float = 1e-2, optimizer=None
+):
+    """Full training step through the explicit-collective executor.
+
+    Differentiates the shard_map ELBO (the psum's reverse is a broadcast, so
+    replicated parameter gradients come out exact) and applies an optax
+    update. Returns ``(step, init)`` where ``step(params, opt_state, batch,
+    key) -> (params, opt_state, loss)`` and ``init(params) -> opt_state``.
+    """
+    import optax
+
+    fn = _build_shardmap_fn(spec, mesh, S)
+    tx = optimizer or optax.adam(lr)
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(
+            lambda p: fn(p, consts, batch, key)
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, tx.init
+
+
+def _build_shardmap_fn(spec: ModelSpec, mesh: Mesh, S: int):
+    """The raw (unjitted) shard_map SPMD function shared by the ELBO and
+    train-step entry points."""
     n_shards = mesh.shape[DATA_AXIS]
     lspec = _local_spec(spec, n_shards)
 
@@ -132,16 +171,10 @@ def make_shardmap_neg_elbo(spec: ModelSpec, mesh: Mesh, consts: dict, S: int):
         }
         for m in spec.modalities
     }
-    fn = shard_map(
+    return shard_map(
         partial(local_fn),
         mesh=mesh,
         in_specs=(P(), P(), batch_specs, P()),
         out_specs=P(),
         check_vma=False,
     )
-
-    @jax.jit
-    def neg_elbo(params, batch, key):
-        return fn(params, consts, batch, key)
-
-    return neg_elbo

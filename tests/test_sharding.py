@@ -143,3 +143,91 @@ def test_shardmap_elbo_on_2d_mesh():
         core.negative_elbo(model.spec, model.params, model.consts, model._batch, key, 2)
     )
     np.testing.assert_allclose(e_shard, e_single, rtol=1e-5)
+
+
+def test_shardmap_train_step_matches_single_device_step():
+    """One optimizer step through the explicit-collective executor must match
+    the single-device step (same key, full-noise-then-slice design)."""
+    from spatial_alignment_tpu.parallel import make_shardmap_train_step
+
+    data = make_two_view_data(n_per_view=24, n_outputs=4)
+    model = _model(data, pad_multiple=4, n_latent_gps={"expression": 2})
+    m_single = _model(data, n_latent_gps={"expression": 2})
+    mesh = make_mesh(4)
+    key = jax.random.PRNGKey(21)
+
+    step, init = make_shardmap_train_step(model.spec, mesh, model.consts, S=3)
+    p2, _, l2 = step(model.params, init(model.params), model._batch, key)
+
+    step_s, opt_s = m_single.make_train_step(lr=1e-2, S=3)
+    p1, _, l1 = step_s(m_single.params, opt_s, key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
+
+
+def test_sharded_fit_to_convergence_matches_single_device():
+    """Sharded training must CONVERGE like single-device training, not just
+    match one step (VERDICT r1 item 6): 2500 scanned steps on a (4,2) mesh
+    vs the same single-device; converged aligned-MSE within 5%."""
+    from spatial_alignment_tpu.data import generate_twod_data
+
+    rng = np.random.default_rng(0)
+    X, Y, nsl, view_idx = generate_twod_data(
+        2, 10, grid_size=8, n_latent_gps=None,
+        kernel_variance=0.5, kernel_lengthscale=5.0, noise_variance=1e-3,
+        fixed_view_idx=0, rng=rng,
+    )
+    X = X.astype(np.float32)
+    Y = Y.astype(np.float32)
+    data = {"expression": {"spatial_coords": X, "outputs": Y, "n_samples_list": nsl}}
+    N_STEPS = 2500
+
+    def run_scanned(step, params, opt_state, batch, key):
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            if batch is None:
+                p, o, l = step(params, opt_state, sub)
+            else:
+                p, o, l = step(params, opt_state, batch, sub)
+            return (p, o, key), l
+
+        (params, _, _), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=N_STEPS
+        )
+        return params, losses
+
+    def aligned_error(model, params):
+        model.params = params
+        vi, Ns, _, _ = model.create_view_idx_dict(data)
+        G, _, _, _ = model.forward({"expression": X}, vi, Ns)
+        Gm = np.asarray(G["expression"])
+        return float(
+            np.mean(np.sum((Gm[view_idx[0]] - Gm[view_idx[1]]) ** 2, axis=1))
+        )
+
+    kw = dict(m_X_per_view=16, m_G=16, n_latent_gps={"expression": None},
+              fixed_view_idx=0, seed=0)
+    m_single = sat.VariationalGPSA(data, **kw)
+    m_shard = sat.VariationalGPSA(data, pad_multiple=4, **kw)
+    mesh = make_mesh(8, model_parallel=2)
+    distribute(m_shard, mesh)
+
+    step_s, opt_s = m_single.make_train_step(lr=1e-2, S=3)
+    p1, losses1 = run_scanned(step_s, m_single.params, opt_s, None, jax.random.PRNGKey(0))
+
+    from spatial_alignment_tpu.parallel import make_shardmap_train_step
+
+    step_d, init = make_shardmap_train_step(m_shard.spec, mesh, m_shard.consts, S=3)
+    p2, losses2 = run_scanned(
+        step_d, m_shard.params, init(m_shard.params), m_shard._batch,
+        jax.random.PRNGKey(0),
+    )
+
+    err_single = aligned_error(m_single, p1)
+    err_shard = aligned_error(m_shard, p2)
+    pre = float(np.mean(np.sum((X[view_idx[0]] - X[view_idx[1]]) ** 2, axis=1)))
+    assert float(losses2[-1]) < float(losses2[0])
+    assert err_shard < pre / 3, (pre, err_shard)  # actually aligns
+    np.testing.assert_allclose(err_shard, err_single, rtol=0.05)
