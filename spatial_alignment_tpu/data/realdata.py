@@ -41,30 +41,49 @@ __all__ = [
 ]
 
 
+def _read_sparse_group(g) -> np.ndarray:
+    """Densify an AnnData sparse-encoded group (CSR or CSC)."""
+    from scipy.sparse import csc_matrix, csr_matrix
+
+    enc = g.attrs.get("encoding-type", "csr_matrix")
+    if isinstance(enc, bytes):
+        enc = enc.decode()
+    shape = tuple(g.attrs["shape"])
+    cls = csc_matrix if str(enc).startswith("csc") else csr_matrix
+    return np.asarray(
+        cls((g["data"][:], g["indices"][:], g["indptr"][:]), shape=shape).todense()
+    )
+
+
 def load_h5ad(path: str) -> Dict[str, np.ndarray]:
-    """Minimal AnnData .h5ad reader (h5py): X, obs columns, obsm['spatial']."""
+    """Minimal AnnData .h5ad reader (h5py): X, obs columns, obsm['spatial'].
+
+    Handles dense, CSR- and CSC-encoded ``X``, and both plain and
+    categorical (codes + categories groups, anndata >= 0.8 encoding) obs
+    columns — categorical columns are returned as their decoded values.
+    """
     import h5py
 
     out: Dict[str, np.ndarray] = {}
     with h5py.File(path, "r") as f:
         X = f["X"]
-        if isinstance(X, h5py.Group):  # CSR-encoded
-            from scipy.sparse import csr_matrix
-
-            out["X"] = np.asarray(
-                csr_matrix(
-                    (X["data"][:], X["indices"][:], X["indptr"][:]),
-                    shape=tuple(X.attrs["shape"]),
-                ).todense()
-            )
-        else:
-            out["X"] = np.asarray(X)
+        out["X"] = _read_sparse_group(X) if isinstance(X, h5py.Group) else np.asarray(X)
         if "obsm" in f and "spatial" in f["obsm"]:
             out["spatial"] = np.asarray(f["obsm"]["spatial"])
         if "obs" in f:
             for key in f["obs"]:
-                if isinstance(f["obs"][key], h5py.Dataset) and key != "_index":
-                    out[f"obs/{key}"] = np.asarray(f["obs"][key])
+                if key == "_index":
+                    continue
+                node = f["obs"][key]
+                if isinstance(node, h5py.Dataset):
+                    out[f"obs/{key}"] = np.asarray(node)
+                elif isinstance(node, h5py.Group) and "codes" in node and (
+                    "categories" in node
+                ):
+                    codes = np.asarray(node["codes"])
+                    cats = np.asarray(node["categories"]).astype(str)
+                    vals = np.where(codes >= 0, cats[np.maximum(codes, 0)], "")
+                    out[f"obs/{key}"] = vals
         if "var" in f and "_index" in f["var"]:
             out["var_names"] = np.asarray(f["var"]["_index"]).astype(str)
     return out
