@@ -1,0 +1,157 @@
+"""A/B: Pallas fused cross-Gram vs XLA's fused jnp path, on real TPU.
+
+VERDICT r1 item 5: prove (or disprove) that the Pallas Gram kernel earns its
+keep at reachable sizes. Two measurements at the Visium-scale config:
+
+  1. micro — the S-batched cross-Gram op alone (m x N per sample), forward
+     and value_and_grad, Pallas vs jnp, plus max-abs-diff correctness.
+  2. macro — full training-step throughput with the dispatch forced to
+     Pallas vs forced to jnp (set_gram_force is a trace-time switch).
+
+Writes experiments/out/pallas_ab.json.
+
+Run on TPU: python experiments/simulations/pallas_ab.py [--n-spots 4000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+
+from spatial_alignment_tpu.ops import pallas_gram as pg
+
+OUT_PATH = os.path.join(os.path.dirname(__file__), "..", "out", "pallas_ab.json")
+
+
+def timeit(fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def micro(m, n, S, kind="rbf"):
+    """Pallas vs jnp at HIGHEST matmul precision (the model's hot path runs
+    under jax.default_matmul_precision('highest')) and vs jnp at the TPU
+    default (bf16 MXU — catastrophic cancellation in the expanded-sqdist
+    form makes it numerically unusable here; measured for context)."""
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.uniform(0, 10, (m, 2)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(0, 10, (S, n, 2)), jnp.float32)
+    ls = jnp.float32(np.log(2.0))
+    var = jnp.float32(np.log(1.0))
+
+    def with_precision(fn, precision):
+        def wrapped(a, b):
+            with jax.default_matmul_precision(precision):
+                return fn(a, b)
+
+        return jax.jit(wrapped)
+
+    f_pallas = jax.jit(lambda a, b: pg.gram(a, b, ls, var, kind, True))
+    f_jnp_hi = with_precision(lambda a, b: pg.gram(a, b, ls, var, kind, False), "highest")
+    f_jnp_lo = with_precision(lambda a, b: pg.gram(a, b, ls, var, kind, False), "default")
+    K_p = f_pallas(x1, x2)
+    K_hi = f_jnp_hi(x1, x2)
+    K_lo = f_jnp_lo(x1, x2)
+
+    g_pallas = jax.jit(
+        jax.grad(lambda a, b: jnp.sum(pg.gram(a, b, ls, var, kind, True)), argnums=(0, 1))
+    )
+    g_jnp_hi = with_precision(
+        jax.grad(lambda a, b: jnp.sum(pg.gram(a, b, ls, var, kind, False)), argnums=(0, 1)),
+        "highest",
+    )
+
+    return {
+        "shape": [S, m, n],
+        "max_abs_diff_pallas_vs_jnp_highest": float(jnp.max(jnp.abs(K_p - K_hi))),
+        "max_abs_diff_jnp_default_vs_highest": float(jnp.max(jnp.abs(K_lo - K_hi))),
+        "fwd_pallas_ms": timeit(f_pallas, x1, x2) * 1e3,
+        "fwd_jnp_highest_ms": timeit(f_jnp_hi, x1, x2) * 1e3,
+        "fwd_jnp_default_ms": timeit(f_jnp_lo, x1, x2) * 1e3,
+        "grad_pallas_ms": timeit(g_pallas, x1, x2) * 1e3,
+        "grad_jnp_highest_ms": timeit(g_jnp_hi, x1, x2) * 1e3,
+    }
+
+
+def macro(n_spots, m, force):
+    from spatial_alignment_tpu import VariationalGPSA
+    from spatial_alignment_tpu.data import synthetic_visium_like
+
+    pg.set_gram_force(force)
+    try:
+        coords, counts = synthetic_visium_like(n_spots=n_spots, n_genes=10, seed=0)
+        X = np.concatenate(coords).astype(np.float32)
+        Y = np.concatenate(counts).astype(np.float32)
+        dd = {
+            "expression": {
+                "spatial_coords": X,
+                "outputs": Y,
+                "n_samples_list": [c.shape[0] for c in coords],
+            }
+        }
+        model = VariationalGPSA(
+            dd, m_X_per_view=m, m_G=m,
+            n_latent_gps={"expression": None}, fixed_view_idx=0, seed=0,
+        )
+        loop, opt_state = model.make_train_loop(lr=1e-2, S=5)
+        carry = (model.params, opt_state, jax.random.PRNGKey(0))
+        chunk = 100
+        t0 = time.perf_counter()
+        carry, losses = loop(carry, chunk)
+        losses.block_until_ready()
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        carry, losses = loop(carry, chunk)
+        losses.block_until_ready()
+        dt = time.perf_counter() - t0
+        return {
+            "steps_per_sec": chunk / dt,
+            "compile_seconds": compile_s,
+            "final_loss": float(losses[-1]),
+        }
+    finally:
+        pg.set_gram_force(None)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-spots", type=int, default=4000)
+    ap.add_argument("--m", type=int, default=200)
+    ap.add_argument("--S", type=int, default=5)
+    args = ap.parse_args()
+
+    platform = jax.devices()[0].platform
+    out = {"platform": platform, "config": {"n_spots": args.n_spots, "m": args.m, "S": args.S}}
+
+    out["micro"] = micro(args.m, args.n_spots, args.S)
+    print(json.dumps(out["micro"], indent=2), flush=True)
+
+    out["macro_pallas"] = macro(args.n_spots, args.m, force=True)
+    print("pallas:", json.dumps(out["macro_pallas"]), flush=True)
+    out["macro_jnp"] = macro(args.n_spots, args.m, force=False)
+    print("jnp:", json.dumps(out["macro_jnp"]), flush=True)
+    out["macro_speedup_pallas_over_jnp"] = (
+        out["macro_pallas"]["steps_per_sec"] / out["macro_jnp"]["steps_per_sec"]
+    )
+
+    os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
+    with open(OUT_PATH, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: v for k, v in out.items() if not isinstance(v, dict)}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

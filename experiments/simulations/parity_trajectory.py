@@ -31,20 +31,25 @@ from spatial_alignment_tpu import VariationalGPSA  # noqa: E402
 OUT_PATH = os.path.join(os.path.dirname(__file__), "..", "out", "parity_trajectory.json")
 
 
-def ours_trajectory(X, Y, n_samples_list, view_idx, n_epochs, every, seed, lr_decay=True):
+def ours_trajectory(
+    X, Y, n_samples_list, view_idx, n_epochs, every, seed, variant="lrdecay"
+):
+    """variant: 'plain' | 'lrdecay' | 'refscale' | 'temp0'."""
     dd = {
         "expression": {"spatial_coords": X, "outputs": Y, "n_samples_list": n_samples_list}
     }
     model = VariationalGPSA(
         dd, n_spatial_dims=2, m_X_per_view=50, m_G=50, data_init=True,
         n_latent_gps={"expression": 5}, mean_function="identity_fixed", seed=seed,
+        reference_sample_scale=(variant == "refscale"),
     )
     vi, Ns, _, _ = model.create_view_idx_dict(dd)
     optimizer = None
-    if lr_decay:
+    if variant == "lrdecay":
         import optax
 
         optimizer = optax.adam(optax.cosine_decay_schedule(1e-2, n_epochs, alpha=1e-2))
+    temps = (lambda t: np.zeros_like(np.asarray(t, np.float32))) if variant == "temp0" else None
 
     errors = {}
 
@@ -55,7 +60,7 @@ def ours_trajectory(X, Y, n_samples_list, view_idx, n_epochs, every, seed, lr_de
     t0 = time.time()
     model.fit(
         n_epochs=n_epochs, lr=1e-2, S=5, print_every=every, callback=cb,
-        optimizer=optimizer,
+        optimizer=optimizer, warp_temperature_schedule=temps,
     )
     G, _, _, _ = model.forward({"expression": X}, vi, Ns)
     errors[n_epochs] = view_error(np.asarray(G["expression"]), view_idx)
@@ -108,17 +113,29 @@ def main():
     ap.add_argument("--every", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--variants", default="lrdecay")
     args = ap.parse_args()
 
     X, Y, n_samples_list, view_idx = make_data(args.seed)
     results = {"observed_error": view_error(X, view_idx), "epochs": args.epochs}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            prev = json.load(f)
+        prev.update(results)
+        results = prev
 
-    ours = ours_trajectory(
-        X, Y, list(n_samples_list), view_idx, args.epochs, args.every, args.seed
+    for variant in [v.strip() for v in args.variants.split(",") if v.strip()]:
+        ours = ours_trajectory(
+            X, Y, list(n_samples_list), view_idx, args.epochs, args.every,
+            args.seed, variant=variant,
+        )
+        results[f"ours_{variant}"] = ours
+        results[f"ours_{variant}_min"] = min(ours.values())
+        results[f"ours_{variant}_final"] = ours[args.epochs]
+    results["ours_min"] = min(
+        v for k, v in results.items() if k.startswith("ours_") and k.endswith("_min")
     )
-    results["ours_lrdecay"] = ours
-    results["ours_min"] = min(ours.values())
-    results["ours_final"] = ours[args.epochs]
+    results["ours_final"] = results.get("ours_lrdecay_final", results.get("ours_final"))
 
     if not args.skip_torch:
         torch_err = torch_trajectory(
@@ -144,10 +161,12 @@ def main():
         import matplotlib.pyplot as plt
 
         plt.figure(figsize=(8, 5))
-        for key, label in (("ours_lrdecay", "ours (TPU, lr decay)"), ("torch", "reference (torch)")):
-            if key in results:
-                pts = sorted((int(k), v) for k, v in results[key].items())
-                plt.semilogy([p[0] for p in pts], [p[1] for p in pts], label=label)
+        for key in sorted(results):
+            if not isinstance(results[key], dict):
+                continue
+            label = "reference (torch)" if key == "torch" else key.replace("ours_", "ours: ")
+            pts = sorted((int(k), v) for k, v in results[key].items())
+            plt.semilogy([p[0] for p in pts], [p[1] for p in pts], label=label)
         plt.xlabel("epoch")
         plt.ylabel("aligned-coords MSE between views")
         plt.legend()

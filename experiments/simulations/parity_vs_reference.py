@@ -65,7 +65,7 @@ def view_error(coords, view_idx):
 
 def run_ours(
     X, Y, n_samples_list, view_idx, n_epochs, seed,
-    *, refscale=False, average_last=None, lr_decay=False, S=5,
+    *, refscale=False, average_last=None, lr_decay=False, S=5, temp_anneal=False,
 ):
     data_dict = {
         "expression": {"spatial_coords": X, "outputs": Y, "n_samples_list": n_samples_list}
@@ -90,10 +90,16 @@ def run_ours(
         # (the reference gets this accidentally from its sample-scale bug).
         sched = optax.cosine_decay_schedule(1e-2, n_epochs, alpha=1e-2)
         optimizer = optax.adam(sched)
+    temps = None
+    if temp_anneal:
+        # cosine warp-noise temperature 1 -> 0: approaches the deterministic
+        # warp the reference's sample-scale bug reaches late in training
+        temps = lambda t: 0.5 * (1 + np.cos(np.pi * np.asarray(t) / n_epochs))
     t0 = time.time()
     losses = model.fit(
         n_epochs=n_epochs, lr=1e-2, S=S,
         average_last=average_last, optimizer=optimizer,
+        warp_temperature_schedule=temps,
     )
     wall = time.time() - t0
     G_means, _, _, _ = model.forward({"expression": X}, vi, Ns)
@@ -180,6 +186,7 @@ def main():
             refscale=refscale, average_last=avg,
             lr_decay="lrdecay" in variant,
             S=20 if "S20" in variant else 5,
+            temp_anneal="temp" in variant,
         )
         key = f"ours_{variant}_{args.epochs}_epochs"
         if args.tag:

@@ -133,20 +133,38 @@ def pallas_gram(
     return jax.vmap(fn)(x2)
 
 
-# Minimum output elements before the pallas path pays for itself; below this
-# XLA's fused jnp path is already optimal.
+# Measured dispatch window (v5e, f32, m=200, S=5 — experiments/out/
+# pallas_ab.json): below ~256k output elements XLA's fused jnp path is
+# already optimal; in the mid range the fused Pallas kernel wins (1.27x at
+# 20M elems) because the jnp path must run its sqdist matmul at highest
+# precision (6 bf16 passes) while the kernel needs no matmul at all; above
+# ~32M elements both are HBM-write-bound and XLA's code generation edges
+# ahead again, so dispatch returns to jnp.
 _PALLAS_MIN_ELEMS = 256 * 1024
+_PALLAS_MAX_ELEMS = 32 * 1024 * 1024
+
+# Process-wide dispatch override for A/B benchmarking (None = size dispatch).
+# Consulted at TRACE time: set it before building a jitted function.
+_FORCE_OVERRIDE: Optional[bool] = None
+
+
+def set_gram_force(force: Optional[bool]) -> None:
+    """Override Pallas-vs-jnp dispatch globally (None restores size dispatch)."""
+    global _FORCE_OVERRIDE
+    _FORCE_OVERRIDE = force
 
 
 def _gram_fwd_impl(x1, x2, log_ls, log_var, kind, force):
     use = force
+    if use is None and _FORCE_OVERRIDE is not None:
+        use = _FORCE_OVERRIDE and _HAS_PALLAS and x1.ndim == 2
     if use is None:
         n_out = int(np.prod(x1.shape[:-1])) * int(np.prod(x2.shape[:-1]))
         use = (
             _HAS_PALLAS
             and jax.default_backend() == "tpu"
             and x1.ndim == 2
-            and n_out >= _PALLAS_MIN_ELEMS
+            and _PALLAS_MIN_ELEMS <= n_out <= _PALLAS_MAX_ELEMS
         )
     if use:
         return pallas_gram(x1, x2, log_ls, log_var, kind)
