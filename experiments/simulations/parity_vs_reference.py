@@ -91,7 +91,11 @@ def run_ours(
         sched = optax.cosine_decay_schedule(1e-2, n_epochs, alpha=1e-2)
         optimizer = optax.adam(sched)
     temps = None
-    if temp_anneal:
+    if temp_anneal == "zero":
+        # deterministic warp throughout (temperature-0 ELBO: the likelihood
+        # sees the posterior-mean warp; the KL still regularizes)
+        temps = lambda t: np.zeros_like(np.asarray(t, np.float32))
+    elif temp_anneal:
         # cosine warp-noise temperature 1 -> 0: approaches the deterministic
         # warp the reference's sample-scale bug reaches late in training
         temps = lambda t: 0.5 * (1 + np.cos(np.pi * np.asarray(t) / n_epochs))
@@ -186,7 +190,7 @@ def main():
             refscale=refscale, average_last=avg,
             lr_decay="lrdecay" in variant,
             S=20 if "S20" in variant else 5,
-            temp_anneal="temp" in variant,
+            temp_anneal="zero" if "temp0" in variant else ("temp" in variant),
         )
         key = f"ours_{variant}_{args.epochs}_epochs"
         if args.tag:

@@ -36,7 +36,13 @@ m_X_per_view = 50
 N_EPOCHS = 10000
 
 
-def two_d_gpsa(X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None, seed=0):
+def two_d_gpsa(
+    X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None, seed=0,
+    recipe="plain",
+):
+    """recipe='accurate' trains with the deterministic-warp (temperature-0)
+    objective under cosine lr decay — the converged-accuracy recipe from
+    experiments/out/parity_vs_reference.json (ours_lrdecay+temp0)."""
     data_dict = {
         "expression": {
             "spatial_coords": X.astype(np.float32),
@@ -56,8 +62,18 @@ def two_d_gpsa(X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None
         seed=seed,
     )
     view_idx, Ns, _, _ = model.create_view_idx_dict(data_dict)
+    fit_kw = {}
+    if recipe == "accurate":
+        import optax
+
+        fit_kw["optimizer"] = optax.adam(
+            optax.cosine_decay_schedule(1e-2, n_epochs, alpha=1e-2)
+        )
+        fit_kw["warp_temperature_schedule"] = lambda t: np.zeros_like(
+            np.asarray(t, np.float32)
+        )
     t0 = time.time()
-    losses = model.fit(n_epochs=n_epochs, lr=1e-2, S=5, print_every=500)
+    losses = model.fit(n_epochs=n_epochs, lr=1e-2, S=5, print_every=500, **fit_kw)
     print(f"  trained {n_epochs} epochs in {time.time() - t0:.1f}s")
     G_means, _, _, _ = model.forward({"expression": X.astype(np.float32)}, view_idx, Ns)
     return G_means["expression"]
@@ -69,7 +85,7 @@ def view_error(coords, view_idx):
     )
 
 
-def main(n_epochs=N_EPOCHS, seed=0):
+def main(n_epochs=N_EPOCHS, seed=0, recipe="plain"):
     n_outputs = 30
     n_latent_gps = {"expression": 5}
     rng = np.random.default_rng(seed)
@@ -90,14 +106,16 @@ def main(n_epochs=N_EPOCHS, seed=0):
 
     print("de novo alignment...")
     aligned_denovo = two_d_gpsa(
-        X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None, seed=seed
+        X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None,
+        seed=seed, recipe=recipe,
     )
     denovo_error = view_error(aligned_denovo, view_idx)
     print(f"de novo error: {denovo_error:.6f}")
 
     print("template-based alignment...")
     aligned_template = two_d_gpsa(
-        X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=0, seed=seed
+        X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=0,
+        seed=seed, recipe=recipe,
     )
     template_error = view_error(aligned_template, view_idx)
     print(f"template error: {template_error:.6f}")
@@ -113,6 +131,7 @@ def main(n_epochs=N_EPOCHS, seed=0):
         },
         "n_epochs": n_epochs,
         "seed": seed,
+        "recipe": recipe,
     }
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out_dir, exist_ok=True)
@@ -123,4 +142,11 @@ def main(n_epochs=N_EPOCHS, seed=0):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=N_EPOCHS)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--recipe", choices=["plain", "accurate"], default="plain")
+    args = ap.parse_args()
+    main(n_epochs=args.epochs, seed=args.seed, recipe=args.recipe)
