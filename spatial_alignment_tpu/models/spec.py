@@ -75,6 +75,10 @@ class ModelSpec:
     # (Rao-Blackwellized SVGP; only the warp layer is sampled). False =
     # reference parity (the reference samples F, vgpsa.py:423-426).
     analytic_data_likelihood: bool = False
+    # Matmul precision for the SVGP projection products (O(m^2 N)): "highest"
+    # = f32 (default); "high" = bf16 3-pass, faster at large N. Gram
+    # construction and Cholesky always stay at highest precision.
+    svgp_matmul_precision: str = "highest"
 
     # ---- derived helpers -------------------------------------------------
     @property
@@ -126,6 +130,7 @@ def build_spec(
     pad_multiple: int = 1,
     data_chunk_size=None,
     analytic_data_likelihood: bool = False,
+    svgp_matmul_precision: str = "highest",
 ) -> ModelSpec:
     """Derive a ModelSpec from a reference-format data_dict.
 
@@ -202,6 +207,7 @@ def build_spec(
         mean_penalty_param=mean_penalty_param,
         data_chunk_size=data_chunk_size,
         analytic_data_likelihood=analytic_data_likelihood,
+        svgp_matmul_precision=svgp_matmul_precision,
     )
 
 

@@ -90,6 +90,7 @@ class VariationalGPSA:
         pad_multiple: int = 1,
         data_chunk_size: Optional[int] = None,
         analytic_data_likelihood: bool = False,
+        svgp_matmul_precision: str = "highest",
     ):
         del n_spatial_dims, minmax_init  # shape-driven / dead (SURVEY.md §2.4.5-6)
         spec = build_spec(
@@ -111,6 +112,7 @@ class VariationalGPSA:
             pad_multiple=pad_multiple,
             data_chunk_size=data_chunk_size,
             analytic_data_likelihood=analytic_data_likelihood,
+            svgp_matmul_precision=svgp_matmul_precision,
         )
         self.params, self.consts, self.spec = init_params(
             spec,

@@ -322,3 +322,24 @@ def test_predict_on_new_coords(two_view_data, rng):
     G_means, F_mean, F_var = model.predict({"expression": X_test}, vi)
     assert F_mean["expression"].shape == (2 * n_test, 3)
     assert np.isfinite(F_mean["expression"]).all()
+
+
+def test_svgp_matmul_precision_knob(two_view_data):
+    """The precision knob must thread through to a valid model; on CPU all
+    precisions are f32, so results are identical (TPU numbers in
+    experiments/out/svgp_precision_ab.json)."""
+    import spatial_alignment_tpu as sat
+
+    def build(prec):
+        return sat.VariationalGPSA(
+            two_view_data, m_X_per_view=6, m_G=6,
+            n_latent_gps={"expression": None}, seed=0,
+            svgp_matmul_precision=prec,
+        )
+
+    m_hi, m_fast = build("highest"), build("high")
+    assert m_fast.spec.svgp_matmul_precision == "high"
+    k = jax.random.PRNGKey(0)
+    e_hi = float(core.negative_elbo(m_hi.spec, m_hi.params, m_hi.consts, m_hi._batch, k, 2))
+    e_fast = float(core.negative_elbo(m_fast.spec, m_fast.params, m_fast.consts, m_fast._batch, k, 2))
+    np.testing.assert_allclose(e_hi, e_fast, rtol=1e-6)
