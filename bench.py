@@ -65,7 +65,7 @@ def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0):
     # dispatch (lax.scan) with donated buffers and a device-resident RNG chain.
     loop, opt_state = model.make_train_loop(lr=LR, S=S)
     carry = (model.params, opt_state, jax.random.PRNGKey(0))
-    chunk = 100
+    chunk = 200
     carry, losses = loop(carry, chunk)  # compile + warmup
     losses.block_until_ready()
 

@@ -28,7 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.kernels import get_kernel
-from ..ops.linalg import cholesky_solve, jittered_cholesky, kl_mvn_chol
+from ..ops.linalg import (
+    cholesky_solve,
+    factor_psd_cholesky,
+    jittered_cholesky,
+    kl_mvn_chol,
+)
 from ..ops.pallas_gram import gram
 from .spec import ModelSpec
 
@@ -162,7 +167,7 @@ def warp_layer(
         mu_x = Xv @ slope + intercept  # (Ntot, D)
         mu_z = Xt @ slope + intercept  # (m, D)
         kff = jnp.exp(var) * jnp.ones(Xv.shape[0], Xv.dtype)  # vgpsa.py:310-312
-        Om_tril = jittered_cholesky(Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps)
+        Om_tril = factor_psd_cholesky(Om_sqt, eps)
         mu_t, sig = svgp_mean_var(
             kff, Kuf, L, mu_x, mu_z, delta, Om_tril, eps,
             matmul_precision=spec.svgp_matmul_precision,
@@ -247,9 +252,7 @@ def data_layer(
         N = V * Np
         G = G_samples[mod.name].reshape(S, N, D)
         Om_sqt = hp["Omega_sqt_F"][mod.name]
-        Om_tril = jittered_cholesky(
-            Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps
-        )  # (L, m_G, m_G)
+        Om_tril = factor_psd_cholesky(Om_sqt, eps)  # (L, m_G, m_G)
         delta = hp["delta_F"][mod.name]  # (m_G, L)
         eps_f = (
             noise[mod.name]
@@ -323,7 +326,7 @@ def data_layer_moments(
         N = V * Np
         G = G_samples[mod.name].reshape(S, N, D)
         Om_sqt = hp["Omega_sqt_F"][mod.name]
-        Om_tril = jittered_cholesky(Om_sqt @ jnp.swapaxes(Om_sqt, -1, -2), eps)
+        Om_tril = factor_psd_cholesky(Om_sqt, eps)
         delta = hp["delta_F"][mod.name]
 
         def moments(G_pts):

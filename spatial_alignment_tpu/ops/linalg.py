@@ -16,6 +16,7 @@ import jax.scipy.linalg as jsl
 __all__ = [
     "add_jitter",
     "safe_cholesky",
+    "factor_psd_cholesky",
     "cholesky_solve",
     "tri_solve",
     "kl_mvn_chol",
@@ -79,6 +80,26 @@ def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
     ok2 = probe_ok(100.0)
     jitter = jnp.where(ok1, base, jnp.where(ok2, 100.0 * base, 10000.0 * base))
     return jnp.linalg.cholesky(mat + jitter * eye)
+
+
+def factor_psd_cholesky(sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Lower Cholesky of ``sqt @ sqt^T + jitter * I`` for a free square factor.
+
+    Used for the variational covariances Omega = Omega_sqt Omega_sqt^T + eps I
+    (reference: vgpsa.py:206-210). Unlike the learned-inducing-point Gram
+    matrices, this product is PSD *by construction*, so the NaN-probed jitter
+    escalation in :func:`jittered_cholesky` (2 extra probe factorizations per
+    call) is pure overhead here and is skipped. f32 rounding can perturb
+    eigenvalues by ~m * ulp * mean(diag) ≈ 5e-6 * mean(diag) at m = 200 —
+    strictly inside the eps * max(1, mean(diag)) jitter added below, so the
+    single factorization cannot NaN for finite inputs.
+    """
+    mat = sqt @ jnp.swapaxes(sqt, -1, -2)
+    diag_mean = jnp.maximum(
+        1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
+    )
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    return jnp.linalg.cholesky(mat + (eps * diag_mean)[..., None, None] * eye)
 
 
 def _broadcast_mats(a: jnp.ndarray, b: jnp.ndarray):

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 from spatial_alignment_tpu.ops.linalg import (
     add_jitter,
     safe_cholesky,
+    factor_psd_cholesky,
     cholesky_solve,
     tri_solve,
     kl_mvn_chol,
@@ -109,6 +110,33 @@ def test_kl_batched_layout(rng):
             np.testing.assert_allclose(
                 got[v, d], _kl_dense(mu_q[v, d], Sq[v, d], mu_p[v, d], Sp[v]), rtol=1e-3
             )
+
+
+def test_factor_psd_cholesky_matches_probed_path(rng):
+    """The probe-free Omega factorization must equal jittered_cholesky on the
+    same product (same diag-scaled jitter; only the NaN probes are skipped)."""
+    from spatial_alignment_tpu.ops.linalg import jittered_cholesky
+
+    for scale in (1.0, 50.0):  # exercise the max(1, mean diag) jitter scaling
+        sqt = jnp.asarray(scale * rng.standard_normal((7, 12, 12)), jnp.float32)
+        got = np.asarray(factor_psd_cholesky(sqt, 1e-5))
+        want = np.asarray(
+            jittered_cholesky(sqt @ jnp.swapaxes(sqt, -1, -2), 1e-5)
+        )
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_factor_psd_cholesky_rank_deficient_factor(rng):
+    """A rank-deficient factor (worst case for by-construction PSD) still
+    factorizes finitely thanks to the jitter."""
+    low = jnp.asarray(rng.standard_normal((9, 2)), jnp.float32)
+    sqt = jnp.concatenate([low, jnp.zeros((9, 7), jnp.float32)], axis=1)
+    L = np.asarray(factor_psd_cholesky(sqt, 1e-5))
+    assert np.isfinite(L).all()
+    np.testing.assert_allclose(
+        L @ L.T, np.asarray(sqt @ sqt.T) + 1e-5 * np.eye(9), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_add_jitter():
