@@ -38,7 +38,7 @@ N_EPOCHS = 10000
 
 def two_d_gpsa(
     X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None, seed=0,
-    recipe="plain",
+    recipe="plain", variational="square",
 ):
     """recipe='accurate' trains with the deterministic-warp (temperature-0)
     objective under cosine lr decay — the converged-accuracy recipe from
@@ -60,6 +60,7 @@ def two_d_gpsa(
         mean_function="identity_fixed",
         fixed_view_idx=fixed_view_idx,
         seed=seed,
+        triangular_variational=(variational == "triangular"),
     )
     view_idx, Ns, _, _ = model.create_view_idx_dict(data_dict)
     fit_kw = {}
@@ -85,7 +86,7 @@ def view_error(coords, view_idx):
     )
 
 
-def main(n_epochs=N_EPOCHS, seed=0, recipe="plain"):
+def main(n_epochs=N_EPOCHS, seed=0, recipe="plain", variational="square"):
     n_outputs = 30
     n_latent_gps = {"expression": 5}
     rng = np.random.default_rng(seed)
@@ -107,7 +108,7 @@ def main(n_epochs=N_EPOCHS, seed=0, recipe="plain"):
     print("de novo alignment...")
     aligned_denovo = two_d_gpsa(
         X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None,
-        seed=seed, recipe=recipe,
+        seed=seed, recipe=recipe, variational=variational,
     )
     denovo_error = view_error(aligned_denovo, view_idx)
     print(f"de novo error: {denovo_error:.6f}")
@@ -115,7 +116,7 @@ def main(n_epochs=N_EPOCHS, seed=0, recipe="plain"):
     print("template-based alignment...")
     aligned_template = two_d_gpsa(
         X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=0,
-        seed=seed, recipe=recipe,
+        seed=seed, recipe=recipe, variational=variational,
     )
     template_error = view_error(aligned_template, view_idx)
     print(f"template error: {template_error:.6f}")
@@ -132,10 +133,16 @@ def main(n_epochs=N_EPOCHS, seed=0, recipe="plain"):
         "n_epochs": n_epochs,
         "seed": seed,
         "recipe": recipe,
+        "variational": variational,
     }
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "denovo_vs_templatebased.json"), "w") as f:
+    suffix = "" if (recipe == "plain" and seed == 0) else f"_{recipe}_seed{seed}"
+    if variational != "square":
+        suffix += f"_{variational}"
+    with open(
+        os.path.join(out_dir, f"denovo_vs_templatebased{suffix}.json"), "w"
+    ) as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
     return out
@@ -148,5 +155,11 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=N_EPOCHS)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--recipe", choices=["plain", "accurate"], default="plain")
+    ap.add_argument(
+        "--variational", choices=["square", "triangular"], default="square",
+        help="variational covariance parameterization (triangular = the "
+        "factorization-free TPU fast path; same covariance family)",
+    )
     args = ap.parse_args()
-    main(n_epochs=args.epochs, seed=args.seed, recipe=args.recipe)
+    main(n_epochs=args.epochs, seed=args.seed, recipe=args.recipe,
+         variational=args.variational)

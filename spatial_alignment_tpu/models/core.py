@@ -116,6 +116,18 @@ def svgp_mean_var(
     return mu_tilde, sigma
 
 
+def omega_tril(spec: ModelSpec, Om_sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Cholesky factor of the variational covariance from its stored factor.
+
+    Square mode (reference parity, vgpsa.py:206-210): factorize
+    Omega_sqt @ Omega_sqt^T + eps*I. Triangular mode: the stored factor IS
+    the (lower-triangular) Cholesky factor — zero per-step factorizations.
+    """
+    if spec.triangular_variational:
+        return jnp.tril(Om_sqt)
+    return factor_psd_cholesky(Om_sqt, eps)
+
+
 # ---------------------------------------------------------------------------
 # Warp layer
 # ---------------------------------------------------------------------------
@@ -167,7 +179,7 @@ def warp_layer(
         mu_x = Xv @ slope + intercept  # (Ntot, D)
         mu_z = Xt @ slope + intercept  # (m, D)
         kff = jnp.exp(var) * jnp.ones(Xv.shape[0], Xv.dtype)  # vgpsa.py:310-312
-        Om_tril = factor_psd_cholesky(Om_sqt, eps)
+        Om_tril = omega_tril(spec, Om_sqt, eps)
         mu_t, sig = svgp_mean_var(
             kff, Kuf, L, mu_x, mu_z, delta, Om_tril, eps,
             matmul_precision=spec.svgp_matmul_precision,
@@ -252,7 +264,7 @@ def data_layer(
         N = V * Np
         G = G_samples[mod.name].reshape(S, N, D)
         Om_sqt = hp["Omega_sqt_F"][mod.name]
-        Om_tril = factor_psd_cholesky(Om_sqt, eps)  # (L, m_G, m_G)
+        Om_tril = omega_tril(spec, Om_sqt, eps)  # (L, m_G, m_G)
         delta = hp["delta_F"][mod.name]  # (m_G, L)
         eps_f = (
             noise[mod.name]
@@ -326,7 +338,7 @@ def data_layer_moments(
         N = V * Np
         G = G_samples[mod.name].reshape(S, N, D)
         Om_sqt = hp["Omega_sqt_F"][mod.name]
-        Om_tril = factor_psd_cholesky(Om_sqt, eps)
+        Om_tril = omega_tril(spec, Om_sqt, eps)
         delta = hp["delta_F"][mod.name]
 
         def moments(G_pts):

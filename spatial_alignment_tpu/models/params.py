@@ -175,17 +175,32 @@ def init_params(
         params["mean_slopes"] = eyeVDD.copy()
         params["mean_intercepts"] = 0.1 * randn(V, D)
 
+    def variational_factor(a: np.ndarray) -> np.ndarray:
+        """Initial Omega factor. Square mode stores the raw 0.1*randn factor
+        (vgpsa.py:131-153). Triangular mode stores chol(a a^T + jitter*I) —
+        the exact Cholesky of the square-mode initial covariance, so both
+        parameterizations start from the identical q distribution."""
+        if not spec.triangular_variational:
+            return a
+        m = a @ np.swapaxes(a, -1, -2)
+        diag_mean = np.maximum(
+            1.0, np.trace(m, axis1=-2, axis2=-1).astype(np.float64) / m.shape[-1]
+        )
+        eye = np.eye(m.shape[-1], dtype=np.float64)
+        jit = spec.diagonal_offset * diag_mean[..., None, None] * eye
+        return np.linalg.cholesky(m.astype(np.float64) + jit).astype(np.float32)
+
     params["Xtilde"] = Xtilde
     params["Gtilde"] = Gtilde
     params["delta_G"] = Xtilde.copy()
-    params["Omega_sqt_G"] = 0.1 * randn(V, D, m_X, m_X)
+    params["Omega_sqt_G"] = variational_factor(0.1 * randn(V, D, m_X, m_X))
 
     params["Omega_sqt_F"] = {}
     params["delta_F"] = {}
     params["W"] = {}
     for mod in spec.modalities:
         L = mod.n_latent
-        params["Omega_sqt_F"][mod.name] = 0.1 * randn(L, m_G, m_G)
+        params["Omega_sqt_F"][mod.name] = variational_factor(0.1 * randn(L, m_G, m_G))
         params["delta_F"][mod.name] = randn(m_G, L)
         if mod.use_lmc:
             params["W"][mod.name] = randn(L, mod.n_outputs)

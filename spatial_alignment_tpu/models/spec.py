@@ -79,6 +79,14 @@ class ModelSpec:
     # = f32 (default); "high" = bf16 3-pass, faster at large N. Gram
     # construction and Cholesky always stay at highest precision.
     svgp_matmul_precision: str = "highest"
+    # Variational covariance parameterization. False (default, reference
+    # parity): Omega = Omega_sqt @ Omega_sqt^T + eps*I with a free square
+    # factor (vgpsa.py:206-210), costing one m^3 Cholesky per factor per
+    # step. True: Omega_sqt is read as a lower-triangular Cholesky factor
+    # directly (tril; GPflow-style q_sqrt) — same covariance family, no
+    # per-step factorization. The KL's -log|det| barrier keeps the diagonal
+    # away from zero, so no jitter is needed on the factor.
+    triangular_variational: bool = False
 
     # ---- derived helpers -------------------------------------------------
     @property
@@ -131,6 +139,7 @@ def build_spec(
     data_chunk_size=None,
     analytic_data_likelihood: bool = False,
     svgp_matmul_precision: str = "highest",
+    triangular_variational: bool = False,
 ) -> ModelSpec:
     """Derive a ModelSpec from a reference-format data_dict.
 
@@ -208,6 +217,7 @@ def build_spec(
         data_chunk_size=data_chunk_size,
         analytic_data_likelihood=analytic_data_likelihood,
         svgp_matmul_precision=svgp_matmul_precision,
+        triangular_variational=triangular_variational,
     )
 
 

@@ -91,6 +91,7 @@ class VariationalGPSA:
         data_chunk_size: Optional[int] = None,
         analytic_data_likelihood: bool = False,
         svgp_matmul_precision: str = "highest",
+        triangular_variational: bool = False,
     ):
         del n_spatial_dims, minmax_init  # shape-driven / dead (SURVEY.md §2.4.5-6)
         spec = build_spec(
@@ -113,6 +114,7 @@ class VariationalGPSA:
             data_chunk_size=data_chunk_size,
             analytic_data_likelihood=analytic_data_likelihood,
             svgp_matmul_precision=svgp_matmul_precision,
+            triangular_variational=triangular_variational,
         )
         self.params, self.consts, self.spec = init_params(
             spec,

@@ -129,9 +129,15 @@ def cholesky_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 
 
 def chol_logdet(chol: jnp.ndarray) -> jnp.ndarray:
-    """log|A| from its Cholesky factor: 2 * sum(log diag L). Batched."""
+    """log|A| from its Cholesky factor: 2 * sum(log |diag L|). Batched.
+
+    The abs admits triangular factors with unconstrained diagonal sign
+    (GPflow-style q_sqrt parameters): L L^T is the same PSD matrix either
+    way, and |det A| = prod diag(L)^2 regardless of sign. For genuine
+    Cholesky outputs (diag > 0) this is a no-op.
+    """
     diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
-    return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+    return 2.0 * jnp.sum(jnp.log(jnp.abs(diag)), axis=-1)
 
 
 def kl_mvn_chol(

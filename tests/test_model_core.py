@@ -343,3 +343,41 @@ def test_svgp_matmul_precision_knob(two_view_data):
     e_hi = float(core.negative_elbo(m_hi.spec, m_hi.params, m_hi.consts, m_hi._batch, k, 2))
     e_fast = float(core.negative_elbo(m_fast.spec, m_fast.params, m_fast.consts, m_fast._batch, k, 2))
     np.testing.assert_allclose(e_hi, e_fast, rtol=1e-6)
+
+
+def test_triangular_variational_same_initial_elbo(two_view_data):
+    """Triangular mode initializes Omega_sqt as the exact Cholesky of the
+    square mode's initial covariance, so the initial ELBO (same key, same
+    noise shapes) must match the square parameterization to float tolerance."""
+    kw = dict(m_X_per_view=8, m_G=8, n_latent_gps={"expression": None}, seed=0)
+    m_sq = sat.VariationalGPSA(two_view_data, **kw)
+    m_tri = sat.VariationalGPSA(two_view_data, triangular_variational=True, **kw)
+    assert m_tri.spec.triangular_variational
+
+    # the stored factor differs (free square vs tril) ...
+    sq = np.asarray(m_sq.params["Omega_sqt_G"])
+    tri = np.asarray(m_tri.params["Omega_sqt_G"])
+    assert not np.allclose(sq, tri)
+    np.testing.assert_allclose(tri, np.tril(tri))  # lower triangular
+    # ... but the implied covariance is identical (+ the square mode's jitter)
+    cov_sq = sq @ np.swapaxes(sq, -1, -2)
+    diag_mean = np.maximum(1.0, np.trace(cov_sq, axis1=-2, axis2=-1) / sq.shape[-1])
+    cov_sq = cov_sq + 1e-5 * diag_mean[..., None, None] * np.eye(sq.shape[-1])
+    cov_tri = tri @ np.swapaxes(tri, -1, -2)
+    np.testing.assert_allclose(cov_tri, cov_sq, rtol=1e-4, atol=1e-6)
+
+    k = jax.random.PRNGKey(3)
+    e_sq = float(core.negative_elbo(m_sq.spec, m_sq.params, m_sq.consts, m_sq._batch, k, 3))
+    e_tri = float(core.negative_elbo(m_tri.spec, m_tri.params, m_tri.consts, m_tri._batch, k, 3))
+    np.testing.assert_allclose(e_sq, e_tri, rtol=1e-4)
+
+
+def test_triangular_variational_trains(two_view_data):
+    """Training in triangular mode decreases the loss and keeps every factor
+    finite (the KL's -log|det| barrier keeps diagonals off zero)."""
+    m = _tiny_model(two_view_data, seed=0, triangular_variational=True)
+    losses = m.fit(n_epochs=300, lr=1e-2, S=3)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    d = np.diagonal(np.asarray(m.params["Omega_sqt_G"]), axis1=-2, axis2=-1)
+    assert np.all(np.abs(d) > 0)
