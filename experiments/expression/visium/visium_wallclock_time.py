@@ -29,6 +29,15 @@ def main():
     ap.add_argument("--n-spots", type=int, default=2000)
     ap.add_argument("--m", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--variational", choices=["square", "triangular"], default="square",
+        help="variational covariance parameterization (triangular = "
+        "factorization-free fast path)",
+    )
+    ap.add_argument(
+        "--analytic", action="store_true",
+        help="closed-form data-layer expected log-likelihood",
+    )
     args = ap.parse_args()
 
     coords, counts = synthetic_visium_like(n_spots=args.n_spots, n_genes=10, seed=args.seed)
@@ -41,6 +50,8 @@ def main():
     model = VariationalGPSA(
         data_dict, m_X_per_view=args.m, m_G=args.m,
         n_latent_gps={"expression": None}, fixed_view_idx=0, seed=args.seed,
+        triangular_variational=(args.variational == "triangular"),
+        analytic_data_likelihood=args.analytic,
     )
     loop, opt_state = model.make_train_loop(lr=1e-2, S=5)
     carry = (model.params, opt_state, jax.random.PRNGKey(0))
@@ -62,10 +73,15 @@ def main():
         "seconds_per_step": dt / chunk,
         "steps_per_sec": chunk / dt,
         "platform": jax.devices()[0].platform,
+        "variational": args.variational,
+        "analytic_data_likelihood": bool(args.analytic),
     }
     out_dir = os.path.join(os.path.dirname(__file__), "out")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "wallclock.json"), "w") as f:
+    suffix = "" if args.variational == "square" and not args.analytic else (
+        f"_{args.variational}" + ("_analytic" if args.analytic else "")
+    )
+    with open(os.path.join(out_dir, f"wallclock{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 

@@ -38,18 +38,25 @@ def make_data(n_per_view, seed):
 
 
 def time_ours(X, Y, n_samples_list, n_epochs):
+    """Times the scanned on-device loop — fit()'s production execution path
+    (one dispatch per chunk), not an artificial per-step Python loop."""
+    import jax
+
     dd = {"expression": {"spatial_coords": X, "outputs": Y, "n_samples_list": n_samples_list}}
     model = VariationalGPSA(dd, m_X_per_view=M, m_G=M, n_latent_gps={"expression": None})
-    step, opt_state = model.make_train_step(lr=1e-2, S=S)
-    params = model.params
-    for _ in range(3):
-        params, opt_state, loss = step(params, opt_state, model._next_key())
-    loss.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n_epochs):
-        params, opt_state, loss = step(params, opt_state, model._next_key())
-    loss.block_until_ready()
-    return time.perf_counter() - t0
+    loop, opt_state = model.make_train_loop(lr=1e-2, S=S)
+    carry = (model.params, opt_state, jax.random.PRNGKey(0))
+    chunk = min(100, n_epochs)
+    carry, losses = loop(carry, chunk)  # compile + warmup
+    losses.block_until_ready()
+    done, t_total = 0, 0.0
+    while done < n_epochs:
+        t0 = time.perf_counter()
+        carry, losses = loop(carry, chunk)
+        losses.block_until_ready()
+        t_total += time.perf_counter() - t0
+        done += chunk
+    return t_total * n_epochs / done
 
 
 def time_reference(X, Y, n_samples_list, n_epochs):
