@@ -44,6 +44,14 @@ def load_data():
 
 def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0):
     import jax
+
+    try:
+        # Hardware RNG: threefry is serial-heavy on TPU; rbg is the
+        # documented fast path (jax.random docs). Sample streams differ,
+        # which this model makes no claims about (SURVEY.md §7 "RNG").
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
     from spatial_alignment_tpu import VariationalGPSA
 
     data_dict = {
