@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--genes", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--precision", choices=["highest", "high"], default="highest",
+                    help="svgp_matmul_precision: 'high' = bf16 3-pass MXU "
+                    "for the O(m^2 N) projections (the FLOP peak here)")
+    ap.add_argument("--variational", choices=["square", "triangular"],
+                    default="square")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -50,6 +55,8 @@ def main():
         dd, m_X_per_view=args.m, m_G=args.m,
         n_latent_gps={"expression": args.genes}, fixed_view_idx=0,
         data_chunk_size=args.chunk, seed=args.seed,
+        svgp_matmul_precision=args.precision,
+        triangular_variational=(args.variational == "triangular"),
     )
     print(f"constructed (kmeans init) in {time.time()-t0:.0f}s", flush=True)
 
@@ -72,11 +79,17 @@ def main():
         "compile_seconds": compile_s,
         "steps_per_sec": chunk_steps / dt,
         "final_loss_finite": bool(np.isfinite(float(losses[-1]))),
+        "final_loss": float(losses[-1]),
         "platform": jax.devices()[0].platform,
+        "svgp_matmul_precision": args.precision,
+        "variational": args.variational,
     }
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "extreme_scale.json"), "w") as f:
+    suffix = "" if (args.precision, args.variational) == ("highest", "square") else (
+        f"_{args.precision}_{args.variational}"
+    )
+    with open(os.path.join(out_dir, f"extreme_scale{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 
