@@ -28,6 +28,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--epochs", type=int, default=10000)
+    ap.add_argument("--restarts", type=int, default=1,
+                    help=">1 = ELBO-selected multi-start (fit_multistart)")
     args = ap.parse_args()
 
     rows = []
@@ -43,6 +45,7 @@ def main():
             aligned = two_d_gpsa(
                 X, Y, nsl, args.epochs, {"expression": 5},
                 fixed_view_idx=fixed, seed=seed, recipe="accurate",
+                n_restarts=args.restarts,
             )
             row[f"{mode}_error"] = view_error(aligned, view_idx)
         print(json.dumps(row), flush=True)
@@ -59,6 +62,7 @@ def main():
         "recipe": "accurate",
         "n_epochs": args.epochs,
         "n_seeds": args.seeds,
+        "n_restarts": args.restarts,
         "denovo": stats("denovo_error"),
         "template": stats("template_error"),
         "observed": stats("observed_error"),
@@ -71,7 +75,10 @@ def main():
     }
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "accuracy_robustness.json"), "w") as f:
+    name = "accuracy_robustness" + (
+        f"_restarts{args.restarts}" if args.restarts > 1 else ""
+    )
+    with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: out[k] for k in ("denovo", "template", "observed")}, indent=2))
 

@@ -129,6 +129,13 @@ class VariationalGPSA:
         self._key = jax.random.PRNGKey(seed)
         self._batch = pack_batch(self.spec, data_dict)
         self._last_aux = None  # (hp, warp_aux, data_aux) from the last forward
+        # Kept for reinitialize()/fit_multistart (host-side re-init only).
+        self._init_args = dict(
+            data_dict=data_dict, data_init=data_init, grid_init=grid_init,
+            fixed_warp_kernel_variances=fixed_warp_kernel_variances,
+            fixed_warp_kernel_lengthscales=fixed_warp_kernel_lengthscales,
+            fixed_data_kernel_lengthscales=fixed_data_kernel_lengthscales,
+        )
 
         # Reference-parity bookkeeping attributes (used by plotting callbacks)
         self.fixed_view_idx = fixed_view_idx
@@ -491,6 +498,53 @@ class VariationalGPSA:
         else:
             self.params = carry[0]
         return losses
+
+    def reinitialize(self, seed: int):
+        """Draw a fresh parameter initialization (host-side; same spec)."""
+        a = self._init_args
+        self.params, self.consts, self.spec = init_params(
+            self.spec, a["data_dict"], data_init=a["data_init"],
+            grid_init=a["grid_init"], seed=seed,
+            fixed_warp_kernel_variances=a["fixed_warp_kernel_variances"],
+            fixed_warp_kernel_lengthscales=a["fixed_warp_kernel_lengthscales"],
+            fixed_data_kernel_lengthscales=a["fixed_data_kernel_lengthscales"],
+        )
+        self._key = jax.random.PRNGKey(seed)
+        return self
+
+    def fit_multistart(
+        self,
+        n_epochs: int,
+        n_restarts: int = 5,
+        seed0: int = 0,
+        tail: int = 200,
+        verbose: bool = True,
+        **fit_kwargs,
+    ) -> np.ndarray:
+        """Train from ``n_restarts`` independent initializations and keep the
+        run with the best (lowest) mean loss over the final ``tail`` epochs.
+
+        SVI alignment has initialization-dependent local optima: across
+        restarts the converged aligned-view error can span 10x+, and the
+        catastrophic runs are visible in the training loss itself (measured
+        in experiments/out/accuracy_robustness.json follow-up: the best-tail-
+        loss restart reached oracle-level de-novo error on the worst draw).
+        The reference offers no equivalent; practitioners restart by hand.
+
+        Accepts every ``fit`` option. Returns the winning run's loss trace
+        and leaves the model holding the winning parameters.
+        """
+        best = None
+        for r in range(n_restarts):
+            self.reinitialize(seed0 + r)
+            losses = self.fit(n_epochs=n_epochs, **fit_kwargs)
+            score = float(np.mean(losses[-min(tail, len(losses)):]))
+            if verbose:
+                print(f"restart {r}: tail-mean loss {score:.2f}", flush=True)
+            if best is None or score < best[0]:
+                best = (score, self.params, losses)
+        self.params = best[1]
+        return best[2]
 
     def save(self, path: str, step: Optional[int] = None):
         """Checkpoint params + frozen hyperparameters to ``path`` (.npz)."""

@@ -381,3 +381,27 @@ def test_triangular_variational_trains(two_view_data):
     assert losses[-1] < losses[0]
     d = np.diagonal(np.asarray(m.params["Omega_sqt_G"]), axis1=-2, axis2=-1)
     assert np.all(np.abs(d) > 0)
+
+
+def test_fit_multistart_selects_best_tail_loss(two_view_data):
+    """fit_multistart keeps the restart with the lowest tail-mean loss and
+    leaves the model holding that restart's parameters."""
+    m = _tiny_model(two_view_data, seed=0)
+    losses = m.fit_multistart(
+        n_epochs=120, n_restarts=3, tail=30, verbose=False, lr=1e-2, S=2
+    )
+    assert losses.shape == (120,)
+    assert np.isfinite(losses).all()
+    # winner's own trace: re-evaluating the ELBO at the kept params should be
+    # in the same range as the winning tail (not a stale loser's params)
+    e = m.neg_elbo(S=2)
+    assert np.isfinite(e)
+    assert e < losses[0]
+
+
+def test_reinitialize_changes_params(two_view_data):
+    m = _tiny_model(two_view_data, seed=0)
+    before = np.asarray(m.params["Omega_sqt_G"]).copy()
+    m.reinitialize(1)
+    after = np.asarray(m.params["Omega_sqt_G"])
+    assert not np.allclose(before, after)
