@@ -33,6 +33,12 @@ def main():
                     "for the O(m^2 N) projections (the FLOP peak here)")
     ap.add_argument("--variational", choices=["square", "triangular"],
                     default="square")
+    ap.add_argument("--minibatch", type=int, default=None,
+                    help="SVI minibatch size per view: per-step cost becomes "
+                    "independent of N (core.negative_elbo_minibatch)")
+    ap.add_argument("--train-steps", type=int, default=0,
+                    help="after timing, train this many further steps and "
+                    "record the aligned-view error before/after")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -60,9 +66,9 @@ def main():
     )
     print(f"constructed (kmeans init) in {time.time()-t0:.0f}s", flush=True)
 
-    loop, opt_state = model.make_train_loop(lr=1e-2, S=5)
+    loop, opt_state = model.make_train_loop(lr=1e-2, S=5, minibatch_size=args.minibatch)
     carry = (model.params, opt_state, jax.random.PRNGKey(0))
-    chunk_steps = 20
+    chunk_steps = 20 if args.minibatch is None else 200
     t0 = time.time()
     carry, losses = loop(carry, chunk_steps)
     losses.block_until_ready()
@@ -83,12 +89,37 @@ def main():
         "platform": jax.devices()[0].platform,
         "svgp_matmul_precision": args.precision,
         "variational": args.variational,
+        "minibatch": args.minibatch,
     }
+
+    if args.train_steps:
+        n = args.n_per_view
+
+        def aligned_error():
+            model.params = jax.tree.map(lambda a: a + 0, carry[0])
+            G, _, _ = model.predict({"expression": X})
+            g = G["expression"]
+            return float(np.mean(np.sum((g[:n] - g[n:]) ** 2, axis=1)))
+
+        out["observed_error"] = float(np.mean(np.sum(warp**2, axis=1)))
+        out["aligned_error_at_timing_end"] = aligned_error()
+        t0 = time.time()
+        done = 2 * chunk_steps
+        while done < args.train_steps:
+            k = min(chunk_steps, args.train_steps - done)
+            carry, losses = loop(carry, chunk_steps)  # fixed shape: jit-cached
+            done += chunk_steps
+        losses.block_until_ready()
+        out["train_steps_total"] = done
+        out["train_seconds"] = time.time() - t0
+        out["aligned_error_final"] = aligned_error()
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out_dir, exist_ok=True)
     suffix = "" if (args.precision, args.variational) == ("highest", "square") else (
         f"_{args.precision}_{args.variational}"
     )
+    if args.minibatch is not None:
+        suffix += f"_mb{args.minibatch}"
     with open(os.path.join(out_dir, f"extreme_scale{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

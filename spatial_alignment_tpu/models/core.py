@@ -574,6 +574,80 @@ def negative_elbo(
         return -LL + KL
 
 
+def minibatch_spec(spec: ModelSpec, batch_size: int) -> ModelSpec:
+    """Host-side: the spec for a ``batch_size``-point-per-view minibatch.
+
+    Every modality's point axis becomes exactly ``batch_size`` (static shape;
+    one compiled program regardless of the full data size).
+    """
+    import dataclasses
+
+    new_mods = tuple(
+        dataclasses.replace(
+            m,
+            n_padded=int(batch_size),
+            n_samples=(int(batch_size),) * spec.n_views,
+        )
+        for m in spec.modalities
+    )
+    return spec.replace(modalities=new_mods)
+
+
+def subsample_batch(
+    spec: ModelSpec,
+    sub_spec: ModelSpec,
+    batch: Dict[str, Dict[str, jnp.ndarray]],
+    key: jax.Array,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Uniform-with-replacement point subsample per view per modality.
+
+    The returned masks carry ``N_v / B`` importance weights, so the masked
+    likelihood sum over the sub-batch is an unbiased estimator of the
+    full-data likelihood (stochastic variational inference for sparse GPs,
+    Hensman et al. 2013 — the likelihood factorizes per point given the
+    variational posteriors, and the KL terms are data-independent). The
+    reference trains full-batch only; this makes the per-step cost
+    independent of the total spot count.
+
+    Device-side gather: indices are drawn in [0, N_v) (true per-view counts
+    are static), so only real points are ever sampled.
+    """
+    sub = {}
+    keys = jax.random.split(key, spec.n_modalities)
+    for kk, mod, smod in zip(keys, spec.modalities, sub_spec.modalities):
+        B = smod.n_padded
+        counts = jnp.asarray(mod.n_samples)[:, None]  # (V, 1) static constants
+        idx = jax.random.randint(kk, (spec.n_views, B), 0, counts)
+        b = batch[mod.name]
+        coords = jnp.take_along_axis(b["coords"], idx[..., None], axis=1)
+        outputs = jnp.take_along_axis(b["outputs"], idx[..., None], axis=1)
+        weight = jnp.asarray(mod.n_samples, coords.dtype)[:, None] / B
+        mask = jnp.broadcast_to(weight, (spec.n_views, B))
+        sub[mod.name] = {"coords": coords, "outputs": outputs, "mask": mask}
+    return sub
+
+
+def negative_elbo_minibatch(
+    spec: ModelSpec,
+    sub_spec: ModelSpec,
+    params: dict,
+    consts: dict,
+    batch: Dict[str, Dict[str, jnp.ndarray]],
+    key: jax.Array,
+    S: int,
+    temperature=1.0,
+) -> jnp.ndarray:
+    """Unbiased minibatch estimate of the negative ELBO.
+
+    Draws a fresh point subsample (see ``subsample_batch``) and evaluates the
+    standard objective on it; E[estimate] over index draws equals the
+    full-batch ``negative_elbo`` (likelihood term is linear in per-point
+    contributions; KL is computed exactly, unscaled)."""
+    k_idx, k_elbo = jax.random.split(key)
+    sub = subsample_batch(spec, sub_spec, batch, k_idx)
+    return negative_elbo(sub_spec, params, consts, sub, k_elbo, S, temperature)
+
+
 def predict_mean(
     spec: ModelSpec,
     hp: dict,

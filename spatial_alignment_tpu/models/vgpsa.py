@@ -362,43 +362,69 @@ class VariationalGPSA:
     # ------------------------------------------------------------------
     # Training (the hot loop: one fused XLA graph per step)
     # ------------------------------------------------------------------
-    def make_train_step(self, lr: float = 1e-2, S: int = 5, optimizer=None):
+    def _loss_fn(self, minibatch_size: Optional[int]):
+        """(params, key, S, temp) -> scalar loss, closing over spec/consts/
+        batch; the minibatch variant subsamples points on device each call."""
+        spec, consts, batch = self.spec, self.consts, self._batch
+        if minibatch_size is None:
+            return lambda params, key, S, temp: core.negative_elbo(
+                spec, params, consts, batch, key, S, temp
+            )
+        sub_spec = core.minibatch_spec(spec, minibatch_size)
+        return lambda params, key, S, temp: core.negative_elbo_minibatch(
+            spec, sub_spec, params, consts, batch, key, S, temp
+        )
+
+    def make_train_step(
+        self,
+        lr: float = 1e-2,
+        S: int = 5,
+        optimizer=None,
+        minibatch_size: Optional[int] = None,
+    ):
         """Returns (step_fn, opt_state). step_fn(params, opt_state, key) ->
         (params, opt_state, loss); jit-compiled, closes over the static spec
-        and the packed batch."""
+        and the packed batch. ``minibatch_size=B`` trains on an unbiased
+        B-points-per-view subsample each step (SVI; core.subsample_batch)."""
         tx = optimizer or optax.adam(lr)
         opt_state = tx.init(self.params)
-        spec, consts, batch = self.spec, self.consts, self._batch
+        loss_fn = self._loss_fn(minibatch_size)
 
         @jax.jit
         def step(params, opt_state, key):
-            loss, grads = jax.value_and_grad(core.negative_elbo, argnums=1)(
-                spec, params, consts, batch, key, S
-            )
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, S, 1.0)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
         return step, opt_state
 
-    def make_train_loop(self, lr: float = 1e-2, S: int = 5, optimizer=None):
+    def make_train_loop(
+        self,
+        lr: float = 1e-2,
+        S: int = 5,
+        optimizer=None,
+        minibatch_size: Optional[int] = None,
+    ):
         """Scanned multi-step trainer: loop_fn((params, opt_state, key), n)
         runs n fused steps in ONE dispatch (lax.scan) with donated buffers and
         the RNG chain kept on device. ~2-4x throughput over per-step dispatch
         for small configs where launch overhead dominates.
 
+        ``minibatch_size=B`` switches each step to the unbiased B-point
+        subsampled ELBO (per-step cost independent of the data size; the full
+        padded batch stays device-resident and the gather happens on device).
+
         Returns (loop_fn, opt_state). loop_fn is jit-cached per distinct n.
         """
         tx = optimizer or optax.adam(lr)
         opt_state = tx.init(self.params)
-        spec, consts, batch = self.spec, self.consts, self._batch
+        loss_fn = self._loss_fn(minibatch_size)
 
         def one(carry, temp):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            loss, grads = jax.value_and_grad(core.negative_elbo, argnums=1)(
-                spec, params, consts, batch, sub, S, temp
-            )
+            loss, grads = jax.value_and_grad(loss_fn)(params, sub, S, temp)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, key), loss
@@ -430,6 +456,7 @@ class VariationalGPSA:
         warp_temperature_schedule=None,
         optimizer=None,
         average_last: Optional[int] = None,
+        minibatch_size: Optional[int] = None,
     ) -> np.ndarray:
         """Adam training loop (reference pattern: examples/grid_example.py:59-88).
 
@@ -445,8 +472,14 @@ class VariationalGPSA:
         average of chunk-boundary snapshots from the last K epochs (tail /
         Polyak averaging) — it removes the SVI sampling wobble in the
         converged aligned coordinates.
+        ``minibatch_size=B`` trains each step on an unbiased B-points-per-view
+        subsample (stochastic variational inference); per-step cost becomes
+        independent of the total spot count. The returned loss trace holds the
+        per-step minibatch estimates.
         """
-        loop, opt_state = self.make_train_loop(lr=lr, S=S, optimizer=optimizer)
+        loop, opt_state = self.make_train_loop(
+            lr=lr, S=S, optimizer=optimizer, minibatch_size=minibatch_size
+        )
         if chunk_size is None:
             chunk_size = print_every or min(100, max(1, n_epochs))
         if convergence_checker is not None:
