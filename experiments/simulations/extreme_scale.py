@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--train-steps", type=int, default=0,
                     help="after timing, train this many further steps and "
                     "record the aligned-view error before/after")
+    ap.add_argument("--recipe", choices=["plain", "accurate"], default="plain",
+                    help="training recipe for --train-steps: 'accurate' = "
+                    "cosine lr decay + temperature-0 warp objective")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -95,24 +98,47 @@ def main():
     if args.train_steps:
         n = args.n_per_view
 
-        def aligned_error():
-            model.params = jax.tree.map(lambda a: a + 0, carry[0])
+        def aligned_error(params):
+            model.params = jax.tree.map(lambda a: a + 0, params)
             G, _, _ = model.predict({"expression": X})
             g = G["expression"]
             return float(np.mean(np.sum((g[:n] - g[n:]) ** 2, axis=1)))
 
+        out["recipe"] = args.recipe
         out["observed_error"] = float(np.mean(np.sum(warp**2, axis=1)))
-        out["aligned_error_at_timing_end"] = aligned_error()
+        out["aligned_error_at_timing_end"] = aligned_error(carry[0])
+        init_params = model.params  # fresh start for the recorded training run
         t0 = time.time()
-        done = 2 * chunk_steps
-        while done < args.train_steps:
-            k = min(chunk_steps, args.train_steps - done)
-            carry, losses = loop(carry, chunk_steps)  # fixed shape: jit-cached
-            done += chunk_steps
-        losses.block_until_ready()
-        out["train_steps_total"] = done
-        out["train_seconds"] = time.time() - t0
-        out["aligned_error_final"] = aligned_error()
+        if args.recipe == "accurate":
+            # Converged-accuracy recipe (STATUS.md): cosine lr decay +
+            # temperature-0 warp objective. The exact-ELBO objective decouples
+            # from view-overlap error once the data GP is flexible enough;
+            # this recipe keeps alignment converging monotonically.
+            import optax
+
+            model.fit(
+                args.train_steps,
+                S=5,
+                minibatch_size=args.minibatch,
+                optimizer=optax.adam(
+                    optax.cosine_decay_schedule(1e-2, args.train_steps, alpha=1e-2)
+                ),
+                warp_temperature_schedule=lambda t: np.zeros_like(t, np.float32),
+                chunk_size=chunk_steps,
+            )
+            out["train_steps_total"] = args.train_steps
+            out["train_seconds"] = time.time() - t0
+            out["aligned_error_final"] = aligned_error(model.params)
+        else:
+            done = 2 * chunk_steps
+            while done < args.train_steps:
+                carry, losses = loop(carry, chunk_steps)  # fixed shape: jit-cached
+                done += chunk_steps
+            losses.block_until_ready()
+            out["train_steps_total"] = done
+            out["train_seconds"] = time.time() - t0
+            out["aligned_error_final"] = aligned_error(carry[0])
+        model.params = init_params
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out_dir, exist_ok=True)
     suffix = "" if (args.precision, args.variational) == ("highest", "square") else (
@@ -120,6 +146,8 @@ def main():
     )
     if args.minibatch is not None:
         suffix += f"_mb{args.minibatch}"
+    if args.recipe != "plain":
+        suffix += f"_{args.recipe}"
     with open(os.path.join(out_dir, f"extreme_scale{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

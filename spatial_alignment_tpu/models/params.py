@@ -42,14 +42,25 @@ from .spec import ModelSpec, _as_numpy, view_slices
 
 def _kmeans_centers(x: np.ndarray, k: int, seed: int) -> np.ndarray:
     """Host-side k-means for inducing-point init (reference uses sklearn,
-    vgpsa.py:74-91). Runs once at construction, outside jit."""
-    from sklearn.cluster import KMeans
-
+    vgpsa.py:74-91). Runs once at construction, outside jit. Above 20k points
+    exact KMeans takes minutes on one core, so switch to MiniBatchKMeans —
+    inducing inits only need cluster centers that cover the point cloud, and
+    the variational optimization moves them anyway (Xtilde/Gtilde are learned
+    parameters)."""
     if x.shape[0] <= k:
         # Not enough points to cluster; tile the data.
         reps = -(-k // x.shape[0])
         return np.tile(x, (reps, 1))[:k]
-    km = KMeans(n_clusters=k, n_init=10, random_state=seed)
+    if x.shape[0] > 20_000:
+        from sklearn.cluster import MiniBatchKMeans
+
+        km = MiniBatchKMeans(
+            n_clusters=k, n_init=3, batch_size=4096, random_state=seed
+        )
+    else:
+        from sklearn.cluster import KMeans
+
+        km = KMeans(n_clusters=k, n_init=10, random_state=seed)
     km.fit(x)
     return km.cluster_centers_.astype(np.float32)
 

@@ -46,10 +46,18 @@ def _local_spec(spec: ModelSpec, n_shards: int) -> ModelSpec:
     return spec.replace(modalities=tuple(mods))
 
 
-def make_shardmap_neg_elbo(spec: ModelSpec, mesh: Mesh, consts: dict, S: int):
+def make_shardmap_neg_elbo(
+    spec: ModelSpec, mesh: Mesh, consts: dict, S: int, minibatch_size=None
+):
     """Returns neg_elbo(params, batch, key) -> scalar, executed SPMD over the
-    mesh's data axis with explicit psum of the likelihood."""
-    fn = _build_shardmap_fn(spec, mesh, S)
+    mesh's data axis with explicit psum of the likelihood.
+
+    ``minibatch_size=B`` (global, divisible by the data-axis size) switches to
+    stratified minibatch SVI: each shard draws B/n_shards points from its own
+    local block — unbiased like the single-device ``core.subsample_batch``
+    (stratification can only reduce estimator variance), with zero cross-shard
+    communication for the gather."""
+    fn = _build_shardmap_fn(spec, mesh, S, minibatch_size=minibatch_size)
 
     @jax.jit
     def neg_elbo(params, batch, key):
@@ -59,7 +67,13 @@ def make_shardmap_neg_elbo(spec: ModelSpec, mesh: Mesh, consts: dict, S: int):
 
 
 def make_shardmap_train_step(
-    spec: ModelSpec, mesh: Mesh, consts: dict, S: int, lr: float = 1e-2, optimizer=None
+    spec: ModelSpec,
+    mesh: Mesh,
+    consts: dict,
+    S: int,
+    lr: float = 1e-2,
+    optimizer=None,
+    minibatch_size=None,
 ):
     """Full training step through the explicit-collective executor.
 
@@ -67,10 +81,11 @@ def make_shardmap_train_step(
     replicated parameter gradients come out exact) and applies an optax
     update. Returns ``(step, init)`` where ``step(params, opt_state, batch,
     key) -> (params, opt_state, loss)`` and ``init(params) -> opt_state``.
+    ``minibatch_size``: see ``make_shardmap_neg_elbo``.
     """
     import optax
 
-    fn = _build_shardmap_fn(spec, mesh, S)
+    fn = _build_shardmap_fn(spec, mesh, S, minibatch_size=minibatch_size)
     tx = optimizer or optax.adam(lr)
 
     @jax.jit
@@ -85,11 +100,91 @@ def make_shardmap_train_step(
     return step, tx.init
 
 
-def _build_shardmap_fn(spec: ModelSpec, mesh: Mesh, S: int):
+def _local_minibatch(lspec: ModelSpec, mb_lspec: ModelSpec, batch, key):
+    """Stratified subsample of this shard's local point block.
+
+    Real points occupy a contiguous prefix of every local slice (global
+    prefix-padded layout split contiguously), so drawing
+    ``floor(u * count)`` with the local real count (from the mask) samples
+    uniformly over real points only. The returned masks carry
+    ``count_v / b`` weights; summed over shards via the likelihood psum this
+    is the stratified unbiased estimator of the full-data likelihood. Shards
+    with an all-padding slice get weight 0 (their gathered garbage is
+    multiplied out of the sum)."""
+    sub = {}
+    keys = jax.random.split(key, len(lspec.modalities))
+    for kk, m_local, m_mb in zip(keys, lspec.modalities, mb_lspec.modalities):
+        b = m_mb.n_padded
+        bb = batch[m_local.name]
+        mask = bb["mask"]  # (V, Np_local)
+        count = jnp.sum(mask, axis=1)  # (V,) real points in this shard
+        u = jax.random.uniform(kk, (mask.shape[0], b))
+        idx = jnp.minimum(
+            jnp.floor(u * count[:, None]), jnp.maximum(count[:, None] - 1.0, 0.0)
+        ).astype(jnp.int32)
+        coords = jnp.take_along_axis(bb["coords"], idx[..., None], axis=1)
+        outputs = jnp.take_along_axis(bb["outputs"], idx[..., None], axis=1)
+        w = count[:, None] / b
+        sub[m_local.name] = {
+            "coords": coords,
+            "outputs": outputs,
+            "mask": jnp.broadcast_to(w, (mask.shape[0], b)),
+        }
+    return sub
+
+
+def _build_shardmap_fn(spec: ModelSpec, mesh: Mesh, S: int, minibatch_size=None):
     """The raw (unjitted) shard_map SPMD function shared by the ELBO and
     train-step entry points."""
     n_shards = mesh.shape[DATA_AXIS]
     lspec = _local_spec(spec, n_shards)
+    if minibatch_size is not None:
+        if minibatch_size % n_shards:
+            raise ValueError(
+                f"minibatch_size={minibatch_size} not divisible by the "
+                f"data-axis size {n_shards}"
+            )
+        mb_lspec = core.minibatch_spec(lspec, minibatch_size // n_shards)
+
+        def local_fn_mb(params, consts, batch, key):
+            # No single-device bit-parity claim in minibatch mode (index draws
+            # are per-shard by construction): each shard folds its axis index
+            # into the key and draws local-shaped noise directly. The psum'd
+            # estimate is unbiased for the full-batch ELBO.
+            shard = jax.lax.axis_index(DATA_AXIS)
+            hp = dict(consts)
+            hp.update(params)
+            k_idx, k_warp, k_data = jax.random.split(
+                jax.random.fold_in(key, shard), 3
+            )
+            with jax.default_matmul_precision("highest"):
+                sub = _local_minibatch(lspec, mb_lspec, batch, k_idx)
+                X_all, _ = core._concat_modalities(mb_lspec, sub)
+                G_mean, G_samp, warp_aux = core.warp_layer(
+                    mb_lspec, hp, X_all, k_warp, S
+                )
+                G_samples = core._split_modalities(mb_lspec, G_samp, axis=2)
+                F_latent, F_obs, data_aux = core.data_layer(
+                    mb_lspec, hp, G_samples, k_data
+                )
+                noise_pos = jnp.exp(hp["noise_variance"]) + spec.diagonal_offset
+                LL_local = jnp.zeros(())
+                for mm, mod in enumerate(mb_lspec.modalities):
+                    scale = noise_pos[-spec.n_modalities + mm]
+                    LL_local = LL_local + (
+                        core.gaussian_loglik_sum(
+                            sub[mod.name]["outputs"],
+                            F_obs[mod.name],
+                            scale,
+                            sub[mod.name]["mask"],
+                        )
+                        / S
+                    )
+                LL = jax.lax.psum(LL_local, DATA_AXIS)
+                KL = core.kl_divergence(mb_lspec, hp, warp_aux, data_aux)
+                return -LL + KL
+
+        return _wrap_shardmap(spec, mesh, local_fn_mb)
 
     def local_fn(params, consts, batch, key):
         idx = jax.lax.axis_index(DATA_AXIS)
@@ -163,6 +258,10 @@ def _build_shardmap_fn(spec: ModelSpec, mesh: Mesh, S: int):
             KL = core.kl_divergence(lspec, hp, warp_aux, data_aux)
             return -LL + KL
 
+    return _wrap_shardmap(spec, mesh, local_fn)
+
+
+def _wrap_shardmap(spec: ModelSpec, mesh: Mesh, local_fn):
     batch_specs = {
         m.name: {
             "coords": P(None, DATA_AXIS, None),

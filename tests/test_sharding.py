@@ -231,3 +231,86 @@ def test_sharded_fit_to_convergence_matches_single_device():
     assert float(losses2[-1]) < float(losses2[0])
     assert err_shard < pre / 3, (pre, err_shard)  # actually aligns
     np.testing.assert_allclose(err_shard, err_single, rtol=0.05)
+
+
+def test_shardmap_minibatch_unbiased():
+    """The stratified per-shard minibatch estimator must be unbiased for the
+    full-batch ELBO: mean over key draws matches the mean of the
+    (itself MC-sampled) single-device full-batch objective."""
+    from spatial_alignment_tpu.parallel import make_shardmap_neg_elbo
+
+    data = make_two_view_data(n_per_view=24, n_outputs=3)
+    model = _model(data, pad_multiple=4)
+    mesh = make_mesh(4)
+    neg_elbo_mb = make_shardmap_neg_elbo(
+        model.spec, mesh, model.consts, S=1, minibatch_size=16
+    )
+    full = jax.jit(
+        lambda key: core.negative_elbo(
+            model.spec, model.params, model.consts, model._batch, key, 1
+        )
+    )
+    n = 250
+    mb_vals = np.array(
+        [float(neg_elbo_mb(model.params, model._batch, jax.random.PRNGKey(i)))
+         for i in range(n)]
+    )
+    full_vals = np.array([float(full(jax.random.PRNGKey(10_000 + i))) for i in range(n)])
+    se = np.sqrt(mb_vals.var(ddof=1) / n + full_vals.var(ddof=1) / n)
+    assert abs(mb_vals.mean() - full_vals.mean()) < 4.0 * se + 1e-6
+
+
+def test_shardmap_minibatch_handles_all_padding_shards():
+    """Shards whose local slice is pure padding contribute weight 0: the
+    estimate stays finite and unbiased on an uneven layout (18 real of 24
+    padded -> 2 of 8 shards are empty)."""
+    from spatial_alignment_tpu.parallel import make_shardmap_neg_elbo
+
+    data = make_two_view_data(n_per_view=18, n_outputs=3)
+    model = _model(data, pad_multiple=8)
+    assert model.spec.modality("expression").n_padded == 24
+    mesh = make_mesh(8)
+    neg_elbo_mb = make_shardmap_neg_elbo(
+        model.spec, mesh, model.consts, S=1, minibatch_size=16
+    )
+    g = jax.grad(
+        lambda p: neg_elbo_mb(p, model._batch, jax.random.PRNGKey(0))
+    )(model.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+    full = jax.jit(
+        lambda key: core.negative_elbo(
+            model.spec, model.params, model.consts, model._batch, key, 1
+        )
+    )
+    n = 200
+    mb_vals = np.array(
+        [float(neg_elbo_mb(model.params, model._batch, jax.random.PRNGKey(i)))
+         for i in range(n)]
+    )
+    full_vals = np.array([float(full(jax.random.PRNGKey(10_000 + i))) for i in range(n)])
+    se = np.sqrt(mb_vals.var(ddof=1) / n + full_vals.var(ddof=1) / n)
+    assert abs(mb_vals.mean() - full_vals.mean()) < 4.0 * se + 1e-6
+
+
+def test_shardmap_minibatch_training_improves_elbo():
+    from spatial_alignment_tpu.parallel import make_shardmap_train_step
+
+    data = make_two_view_data(n_per_view=24, n_outputs=3)
+    model = _model(data, pad_multiple=4)
+    mesh = make_mesh(4)
+    step, init = make_shardmap_train_step(
+        model.spec, mesh, model.consts, S=2, lr=1e-2, minibatch_size=16
+    )
+    params, opt_state = model.params, init(model.params)
+    key = jax.random.PRNGKey(0)
+    for i in range(150):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, model._batch, sub)
+    assert np.isfinite(float(loss))
+    e0 = float(core.negative_elbo(
+        model.spec, model.params, model.consts, model._batch, jax.random.PRNGKey(1), 3
+    ))
+    e1 = float(core.negative_elbo(
+        model.spec, params, model.consts, model._batch, jax.random.PRNGKey(1), 3
+    ))
+    assert e1 < e0 - 1.0
