@@ -68,6 +68,13 @@ def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0):
         n_latent_gps={"expression": None},
         mean_function="identity_fixed",
         fixed_view_idx=0,
+        # GPflow-style tril covariance factor: no per-step variational-
+        # covariance factorizations (~1.5x steps/s) and, on this exact
+        # config, *better* converged aligned error than the square
+        # reference-parity parameterization (0.0071 vs 0.0081 median over
+        # 3 seeds, better tail ELBO on every seed —
+        # experiments/out/bench_variational_ab.json).
+        triangular_variational=True,
     )
     # Scanned on-device training loop: the whole chunk of ELBO steps is one
     # dispatch (lax.scan) with donated buffers and a device-resident RNG chain.
