@@ -120,6 +120,8 @@ def _fit_kwargs(args):
         )
     if args.average_last:
         kw["average_last"] = args.average_last
+    if getattr(args, "minibatch", None):
+        kw["minibatch_size"] = args.minibatch
     return kw
 
 
@@ -283,6 +285,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--print-every", type=int, default=500)
     ap.add_argument("--recipe", choices=["plain", "accurate"], default="plain",
                     help="accurate = cosine lr decay + temperature-0 warp")
+    ap.add_argument("--minibatch", type=int, default=None,
+                    help="SVI minibatch size per view (unbiased subsampled "
+                    "ELBO; per-step cost independent of spot count)")
     ap.add_argument("--average-last", type=int, default=None,
                     help="tail-average parameters over the last K epochs")
     ap.set_defaults(fn=cmd_align)
