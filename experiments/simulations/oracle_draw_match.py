@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--scan", type=int, default=40, help="seeds to scan")
     ap.add_argument("--n-match", type=int, default=3, help="closest draws to train")
     ap.add_argument("--epochs", type=int, default=10000)
+    ap.add_argument("--restarts", type=int, default=1,
+                    help="ELBO-selected restarts per draw (fit_multistart)")
     args = ap.parse_args()
 
     scanned = []
@@ -60,6 +62,7 @@ def main():
         aligned = two_d_gpsa(
             X, Y, n_samples_list, args.epochs, {"expression": 5},
             fixed_view_idx=None, seed=seed, recipe="accurate",
+            n_restarts=args.restarts,
         )
         err = view_error(aligned, view_idx)
         print(f"seed {seed}: observed {obs:.4f} -> denovo {err:.6f}")
@@ -69,6 +72,7 @@ def main():
         "oracle": {"observed_error": ORACLE_OBSERVED, "denovo_error": ORACLE_DENOVO},
         "recipe": "accurate",
         "n_epochs": args.epochs,
+        "n_restarts": args.restarts,
         "matched_draws": results,
     }
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
