@@ -108,16 +108,7 @@ def _build_model(args, data_dict):
 
 
 def _fit_kwargs(args):
-    kw = {}
-    if args.recipe == "accurate":
-        import optax
-
-        kw["optimizer"] = optax.adam(
-            optax.cosine_decay_schedule(args.lr, args.epochs, alpha=1e-2)
-        )
-        kw["warp_temperature_schedule"] = lambda t: np.zeros_like(
-            np.asarray(t, np.float32)
-        )
+    kw = {"recipe": args.recipe}
     if args.average_last:
         kw["average_last"] = args.average_last
     if getattr(args, "minibatch", None):

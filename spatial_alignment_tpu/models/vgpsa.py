@@ -457,6 +457,7 @@ class VariationalGPSA:
         optimizer=None,
         average_last: Optional[int] = None,
         minibatch_size: Optional[int] = None,
+        recipe: Optional[str] = None,
     ) -> np.ndarray:
         """Adam training loop (reference pattern: examples/grid_example.py:59-88).
 
@@ -476,7 +477,27 @@ class VariationalGPSA:
         subsample (stochastic variational inference); per-step cost becomes
         independent of the total spot count. The returned loss trace holds the
         per-step minibatch estimates.
+        ``recipe="accurate"`` applies the converged-accuracy recipe measured
+        in experiments/out/parity_vs_reference.json — Adam under cosine lr
+        decay to lr/100 plus the temperature-0 (deterministic-warp)
+        objective — unless ``optimizer`` / ``warp_temperature_schedule`` are
+        given explicitly. The exact ELBO decouples from view-overlap error
+        late in training; this recipe converges alignment monotonically and
+        3.5-5.5x below the reference's converged error on the synthetic
+        benchmark.
         """
+        if recipe is not None:
+            if recipe not in ("plain", "accurate"):
+                raise ValueError(f"unknown recipe {recipe!r}")
+            if recipe == "accurate":
+                if optimizer is None:
+                    optimizer = optax.adam(
+                        optax.cosine_decay_schedule(lr, n_epochs, alpha=1e-2)
+                    )
+                if warp_temperature_schedule is None:
+                    warp_temperature_schedule = lambda t: np.zeros_like(
+                        np.asarray(t, np.float32)
+                    )
         loop, opt_state = self.make_train_loop(
             lr=lr, S=S, optimizer=optimizer, minibatch_size=minibatch_size
         )

@@ -149,3 +149,21 @@ def test_minibatch_loop_matches_step(two_view_data):
     leaves_b = jax.tree.leaves(carry[0])
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_minibatch_composes_with_recipe_options(two_view_data):
+    """minibatch + accurate recipe + tail averaging + print_every all work
+    together through one fit() call."""
+    model = _model(two_view_data)
+    losses = model.fit(
+        120, S=2, minibatch_size=16, recipe="accurate",
+        average_last=40, print_every=60,
+    )
+    assert losses.shape == (120,)
+    assert np.isfinite(losses).all()
+
+
+def test_fit_rejects_unknown_recipe(two_view_data):
+    model = _model(two_view_data)
+    with pytest.raises(ValueError):
+        model.fit(10, recipe="bogus")
