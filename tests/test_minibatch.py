@@ -167,3 +167,26 @@ def test_fit_rejects_unknown_recipe(two_view_data):
     model = _model(two_view_data)
     with pytest.raises(ValueError):
         model.fit(10, recipe="bogus")
+
+
+def test_subsample_uneven_view_sizes():
+    """Views with different true counts get per-view N_v/B weights and only
+    sample their own real points."""
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 10, (32, 2)).astype(np.float32)
+    Y = rng.standard_normal((32, 3)).astype(np.float32)
+    dd = {"expression": {"spatial_coords": X, "outputs": Y,
+                          "n_samples_list": [20, 12]}}
+    model = _model(dd, m_X_per_view=4, m_G=4)
+    B = 9
+    sub_spec = core.minibatch_spec(model.spec, B)
+    sub = core.subsample_batch(model.spec, sub_spec, model._batch, jax.random.PRNGKey(1))
+    mask = np.asarray(sub["expression"]["mask"])
+    np.testing.assert_allclose(mask[0], 20.0 / B)
+    np.testing.assert_allclose(mask[1], 12.0 / B)
+    coords = np.asarray(sub["expression"]["coords"])
+    full = np.asarray(model._batch["expression"]["coords"])
+    for v, n_v in enumerate([20, 12]):
+        real = full[v, :n_v]
+        for b in range(B):
+            assert np.abs(real - coords[v, b]).sum(axis=1).min() == 0.0
