@@ -72,8 +72,8 @@ def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0):
         # covariance factorizations (~1.5x steps/s) and, on this exact
         # config, *better* converged aligned error than the square
         # reference-parity parameterization (0.0071 vs 0.0081 median over
-        # 3 seeds, better tail ELBO on every seed —
-        # experiments/out/bench_variational_ab.json).
+        # 3 seeds; tail ELBO better on 2 of 3 seeds, within 0.01% on the
+        # third — experiments/out/bench_variational_ab.json).
         triangular_variational=True,
     )
     # Scanned on-device training loop: the whole chunk of ELBO steps is one

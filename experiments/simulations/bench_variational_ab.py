@@ -23,19 +23,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
 def load_bench_data():
-    import h5py
+    # the benchmark's own loader, so this A/B runs on exactly the bench data
+    from bench import load_data
 
-    path = "/root/reference/examples/synthetic_data.h5ad"
-    if not os.path.exists(path):
-        path = os.path.join(
-            os.path.dirname(__file__), "..", "..", "examples", "synthetic_data.h5ad"
-        )
-    with h5py.File(path, "r") as f:
-        X = np.asarray(f["obsm/spatial"]).astype(np.float32)
-        Y = np.asarray(f["X"]).astype(np.float32)
-        batch = np.asarray(f["obs/batch"])
-    nsl = [int((batch == i).sum()) for i in sorted(set(batch.tolist()))]
-    return X, Y, nsl
+    return load_data()
 
 
 def main():

@@ -107,38 +107,36 @@ def main():
         out["recipe"] = args.recipe
         out["observed_error"] = float(np.mean(np.sum(warp**2, axis=1)))
         out["aligned_error_at_timing_end"] = aligned_error(carry[0])
-        init_params = model.params  # fresh start for the recorded training run
+        # Both recipes train exactly --train-steps FURTHER steps, warm-started
+        # from the post-timing parameters; the timing steps are recorded
+        # separately so recipe A/Bs compare equal optimization budgets.
+        out["warm_start_steps"] = 2 * chunk_steps
         t0 = time.time()
         if args.recipe == "accurate":
-            # Converged-accuracy recipe (STATUS.md): cosine lr decay +
-            # temperature-0 warp objective. The exact-ELBO objective decouples
-            # from view-overlap error once the data GP is flexible enough;
-            # this recipe keeps alignment converging monotonically.
-            import optax
-
+            # Converged-accuracy recipe (fit(recipe="accurate"): cosine lr
+            # decay + temperature-0 warp objective). The exact-ELBO objective
+            # decouples from view-overlap error once the data GP is flexible
+            # enough; this recipe keeps alignment converging monotonically.
+            model.params = jax.tree.map(lambda a: a + 0, carry[0])
             model.fit(
                 args.train_steps,
                 S=5,
                 minibatch_size=args.minibatch,
-                optimizer=optax.adam(
-                    optax.cosine_decay_schedule(1e-2, args.train_steps, alpha=1e-2)
-                ),
-                warp_temperature_schedule=lambda t: np.zeros_like(t, np.float32),
+                recipe="accurate",
                 chunk_size=chunk_steps,
             )
-            out["train_steps_total"] = args.train_steps
-            out["train_seconds"] = time.time() - t0
-            out["aligned_error_final"] = aligned_error(model.params)
+            final_params = model.params
+            trained = args.train_steps
         else:
-            done = 2 * chunk_steps
-            while done < args.train_steps:
+            trained = 0
+            while trained < args.train_steps:
                 carry, losses = loop(carry, chunk_steps)  # fixed shape: jit-cached
-                done += chunk_steps
+                trained += chunk_steps
             losses.block_until_ready()
-            out["train_steps_total"] = done
-            out["train_seconds"] = time.time() - t0
-            out["aligned_error_final"] = aligned_error(carry[0])
-        model.params = init_params
+            final_params = carry[0]
+        out["train_steps_total"] = trained
+        out["train_seconds"] = time.time() - t0
+        out["aligned_error_final"] = aligned_error(final_params)
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out_dir, exist_ok=True)
     suffix = "" if (args.precision, args.variational) == ("highest", "square") else (

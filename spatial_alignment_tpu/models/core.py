@@ -582,6 +582,9 @@ def minibatch_spec(spec: ModelSpec, batch_size: int) -> ModelSpec:
     """
     import dataclasses
 
+    if batch_size < 1:
+        raise ValueError(f"minibatch size must be >= 1, got {batch_size}")
+
     new_mods = tuple(
         dataclasses.replace(
             m,

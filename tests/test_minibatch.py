@@ -5,12 +5,10 @@ full-batch only (vgpsa.py:491-540); this is a beyond-reference scaling path."""
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 import spatial_alignment_tpu as sat
 from spatial_alignment_tpu.models import core
-from spatial_alignment_tpu.models.params import merge_hyperparams
 
 from conftest import make_two_view_data
 
@@ -167,6 +165,14 @@ def test_fit_rejects_unknown_recipe(two_view_data):
     model = _model(two_view_data)
     with pytest.raises(ValueError):
         model.fit(10, recipe="bogus")
+
+
+def test_minibatch_size_must_be_positive(two_view_data):
+    model = _model(two_view_data)
+    with pytest.raises(ValueError):
+        model.fit(10, minibatch_size=0)
+    with pytest.raises(ValueError):
+        core.minibatch_spec(model.spec, 0)
 
 
 def test_subsample_uneven_view_sizes():
