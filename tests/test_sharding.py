@@ -314,3 +314,18 @@ def test_shardmap_minibatch_training_improves_elbo():
         model.spec, params, model.consts, model._batch, jax.random.PRNGKey(1), 3
     ))
     assert e1 < e0 - 1.0
+
+
+def test_pjit_distribute_composes_with_minibatch():
+    """The committed-layout pjit path accepts minibatch training (XLA inserts
+    the cross-shard gather); the explicit shard_map executor is the
+    zero-communication variant."""
+    data = make_two_view_data(n_per_view=24, n_outputs=4)
+    model = _model(data, pad_multiple=4)
+    distribute(model, make_mesh(4))
+    step, opt = model.make_train_step(lr=1e-2, S=2, minibatch_size=12)
+    params, key = model.params, jax.random.PRNGKey(0)
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        params, opt, loss = step(params, opt, sub)
+    assert np.isfinite(float(loss))
