@@ -63,16 +63,7 @@ def two_d_gpsa(
         triangular_variational=(variational == "triangular"),
     )
     view_idx, Ns, _, _ = model.create_view_idx_dict(data_dict)
-    fit_kw = {}
-    if recipe == "accurate":
-        import optax
-
-        fit_kw["optimizer"] = optax.adam(
-            optax.cosine_decay_schedule(1e-2, n_epochs, alpha=1e-2)
-        )
-        fit_kw["warp_temperature_schedule"] = lambda t: np.zeros_like(
-            np.asarray(t, np.float32)
-        )
+    fit_kw = {"recipe": recipe}  # "accurate" = cosine lr decay + temp-0 warp
     t0 = time.time()
     if n_restarts > 1:
         losses = model.fit_multistart(
