@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--n-beads", type=int, default=3000)
     ap.add_argument("--m", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--minibatch", type=int, default=None,
+                    help="SVI minibatch size per view (unbiased subsampled ELBO)")
     args = ap.parse_args()
 
     coords, counts = synthetic_slideseq_like(
@@ -45,7 +47,7 @@ def main():
         dd, m_X_per_view=args.m, m_G=args.m,
         n_latent_gps={"expression": None}, fixed_view_idx=0, seed=args.seed,
     )
-    loop, opt_state = model.make_train_loop(lr=1e-2, S=3)
+    loop, opt_state = model.make_train_loop(lr=1e-2, S=3, minibatch_size=args.minibatch)
     carry = (model.params, opt_state, jax.random.PRNGKey(0))
     chunk = 100
     t0 = time.time()
@@ -65,10 +67,12 @@ def main():
         "seconds_per_step": dt / chunk,
         "steps_per_sec": chunk / dt,
         "platform": jax.devices()[0].platform,
+        "minibatch": args.minibatch,
     }
     out_dir = os.path.join(os.path.dirname(__file__), "out")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "wallclock.json"), "w") as f:
+    name = "wallclock.json" if args.minibatch is None else f"wallclock_mb{args.minibatch}.json"
+    with open(os.path.join(out_dir, name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 

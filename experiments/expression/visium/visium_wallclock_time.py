@@ -38,6 +38,10 @@ def main():
         "--analytic", action="store_true",
         help="closed-form data-layer expected log-likelihood",
     )
+    ap.add_argument(
+        "--minibatch", type=int, default=None,
+        help="SVI minibatch size per view (unbiased subsampled ELBO)",
+    )
     args = ap.parse_args()
 
     coords, counts = synthetic_visium_like(n_spots=args.n_spots, n_genes=10, seed=args.seed)
@@ -53,7 +57,7 @@ def main():
         triangular_variational=(args.variational == "triangular"),
         analytic_data_likelihood=args.analytic,
     )
-    loop, opt_state = model.make_train_loop(lr=1e-2, S=5)
+    loop, opt_state = model.make_train_loop(lr=1e-2, S=5, minibatch_size=args.minibatch)
     carry = (model.params, opt_state, jax.random.PRNGKey(0))
     chunk = 100
     t0 = time.time()
@@ -75,12 +79,15 @@ def main():
         "platform": jax.devices()[0].platform,
         "variational": args.variational,
         "analytic_data_likelihood": bool(args.analytic),
+        "minibatch": args.minibatch,
     }
     out_dir = os.path.join(os.path.dirname(__file__), "out")
     os.makedirs(out_dir, exist_ok=True)
     suffix = "" if args.variational == "square" and not args.analytic else (
         f"_{args.variational}" + ("_analytic" if args.analytic else "")
     )
+    if args.minibatch is not None:
+        suffix += f"_mb{args.minibatch}"
     with open(os.path.join(out_dir, f"wallclock{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
