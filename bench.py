@@ -108,9 +108,8 @@ def _flops_per_step(model, chunk):
     try:
         import jax.numpy as jnp
 
-        loop, opt_state = model.make_train_loop(lr=LR, S=S)
-        # Reach the underlying scan jit for cost analysis via a fresh trace.
-        from functools import partial
+        # Rebuild the scanned train chunk with a fresh trace so the compiled
+        # executable (and its cost analysis) is reachable here.
         from spatial_alignment_tpu.models import core
         import optax
 

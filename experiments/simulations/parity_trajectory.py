@@ -54,8 +54,11 @@ def ours_trajectory(
     errors = {}
 
     def cb(m, t, losses):
+        # fit() invokes the callback after the chunk starting at epoch t has
+        # run, so the params reflect t + every epochs of training — label the
+        # point accordingly (torch's errors[t] is likewise post-step at t).
         G, _, _, _ = m.forward({"expression": X}, vi, Ns)
-        errors[int(t)] = view_error(np.asarray(G["expression"]), view_idx)
+        errors[int(t) + every] = view_error(np.asarray(G["expression"]), view_idx)
 
     t0 = time.time()
     model.fit(

@@ -595,8 +595,14 @@ class VariationalGPSA:
             score = float(np.mean(losses[-min(tail, len(losses)):]))
             if verbose:
                 print(f"restart {r}: tail-mean loss {score:.2f}", flush=True)
+            if not np.isfinite(score):
+                continue  # a diverged (NaN/inf) restart can never win
             if best is None or score < best[0]:
                 best = (score, self.params, losses)
+        if best is None:
+            raise RuntimeError(
+                "fit_multistart: no restart produced a finite tail-mean loss"
+            )
         self.params = best[1]
         return best[2]
 

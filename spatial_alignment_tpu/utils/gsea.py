@@ -121,7 +121,10 @@ def permutation_gsea(
     nes = np.empty(len(records))
     for j, es in enumerate(es_obs):
         same_sign = null[:, j][np.sign(null[:, j]) == np.sign(es)]
-        if same_sign.size == 0:
+        if es == 0.0:
+            pvals[j] = 1.0  # zero excursion = no evidence of enrichment
+            nes[j] = 0.0
+        elif same_sign.size == 0:
             pvals[j] = 1.0 / (n_perm + 1)
             nes[j] = 0.0
         else:

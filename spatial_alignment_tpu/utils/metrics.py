@@ -30,24 +30,27 @@ def _knn_weights(coords: np.ndarray, n_neighbors: int) -> "np.ndarray":
     return W
 
 
+def _morans_i_from_weights(W: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Moran's I per column of ``values`` for a precomputed weight matrix."""
+    values = np.asarray(values, dtype=float)
+    if values.ndim == 1:
+        values = values[:, None]
+    n = W.shape[0]
+    z = values - values.mean(axis=0, keepdims=True)
+    num = np.einsum("if,ij,jf->f", z, W, z)
+    den = np.sum(z**2, axis=0)
+    den = np.where(den == 0, 1.0, den)
+    return (n / W.sum()) * num / den
+
+
 def morans_i(coords: np.ndarray, values: np.ndarray, n_neighbors: int = 6) -> np.ndarray:
     """Moran's I per column of ``values`` over kNN weights on ``coords``.
 
     I = (N / W_sum) * (z^T W z) / (z^T z), z = value - mean.
     Returns an array of shape (n_features,) (scalar input -> shape (1,)).
     """
-    values = np.asarray(values, dtype=float)
-    if values.ndim == 1:
-        values = values[:, None]
     coords = np.asarray(coords, dtype=float)
-    n = coords.shape[0]
-    W = _knn_weights(coords, n_neighbors)
-    w_sum = W.sum()
-    z = values - values.mean(axis=0, keepdims=True)
-    num = np.einsum("if,ij,jf->f", z, W, z)
-    den = np.sum(z**2, axis=0)
-    den = np.where(den == 0, 1.0, den)
-    return (n / w_sum) * num / den
+    return _morans_i_from_weights(_knn_weights(coords, n_neighbors), values)
 
 
 def morans_i_test(
@@ -69,7 +72,7 @@ def morans_i_test(
     coords = np.asarray(coords, dtype=float)
     n = coords.shape[0]
     W = _knn_weights(coords, n_neighbors)
-    I = morans_i(coords, values, n_neighbors=n_neighbors)
+    I = _morans_i_from_weights(W, values)
 
     # Moments of I under the normality assumption (Cliff & Ord).
     s0 = W.sum()
