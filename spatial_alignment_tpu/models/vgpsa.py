@@ -46,6 +46,29 @@ from .spec import (
 )
 
 
+def _resolve_recipe(recipe, lr, n_epochs, optimizer, warp_temperature_schedule):
+    """Expand a named training recipe into (optimizer, temperature schedule).
+
+    "accurate" = Adam under cosine lr decay to lr/100 + the temperature-0
+    (deterministic-warp) objective — the converged-accuracy recipe
+    (experiments/out/parity_vs_reference.json). Explicitly-passed
+    optimizer/schedule always win.
+    """
+    if recipe is not None:
+        if recipe not in ("plain", "accurate"):
+            raise ValueError(f"unknown recipe {recipe!r}")
+        if recipe == "accurate":
+            if optimizer is None:
+                optimizer = optax.adam(
+                    optax.cosine_decay_schedule(lr, n_epochs, alpha=1e-2)
+                )
+            if warp_temperature_schedule is None:
+                warp_temperature_schedule = lambda t: np.zeros_like(
+                    np.asarray(t, np.float32)
+                )
+    return optimizer, warp_temperature_schedule
+
+
 @partial(jax.jit, static_argnames=("spec", "S"))
 def _jit_neg_elbo(spec, params, consts, batch, key, S):
     return core.negative_elbo(spec, params, consts, batch, key, S)
@@ -442,6 +465,37 @@ class VariationalGPSA:
                 temps = jnp.asarray(n_or_temps, jnp.float32)
             return scan_loop(carry, temps)
 
+        # Stashed so fit() can reuse this loop (and its compiled scans)
+        # across calls, rebuilding only the donated-away optimizer state.
+        loop._tx = tx
+        return loop, opt_state
+
+    def _cached_train_loop(self, lr, S, optimizer, minibatch_size):
+        """make_train_loop with reuse across fit() calls.
+
+        A fresh make_train_loop closure means a fresh jax.jit object and a
+        full retrace+recompile per fit() call — which dominates wall-clock
+        for fit_multistart (one compile per restart). The compiled loop is
+        reusable whenever the optimizer object and the training
+        configuration are unchanged: spec/batch are fixed for a model
+        instance, and reinitialize() only swaps parameter *values*
+        (consts are seed-independent, models/params.py). Optimizer state is
+        rebuilt every call — the scan donates its carry, so the previous
+        opt_state's buffers are gone.
+        """
+        key = (lr, S, minibatch_size, None if optimizer is None else id(optimizer))
+        cache = getattr(self, "_train_loop_cache", None)
+        if (
+            cache is not None
+            and cache["key"] == key
+            and cache["optimizer"] is optimizer
+        ):
+            loop = cache["loop"]
+            return loop, loop._tx.init(self.params)
+        loop, opt_state = self.make_train_loop(
+            lr=lr, S=S, optimizer=optimizer, minibatch_size=minibatch_size
+        )
+        self._train_loop_cache = {"key": key, "optimizer": optimizer, "loop": loop}
         return loop, opt_state
 
     def fit(
@@ -486,21 +540,10 @@ class VariationalGPSA:
         3.5-5.5x below the reference's converged error on the synthetic
         benchmark.
         """
-        if recipe is not None:
-            if recipe not in ("plain", "accurate"):
-                raise ValueError(f"unknown recipe {recipe!r}")
-            if recipe == "accurate":
-                if optimizer is None:
-                    optimizer = optax.adam(
-                        optax.cosine_decay_schedule(lr, n_epochs, alpha=1e-2)
-                    )
-                if warp_temperature_schedule is None:
-                    warp_temperature_schedule = lambda t: np.zeros_like(
-                        np.asarray(t, np.float32)
-                    )
-        loop, opt_state = self.make_train_loop(
-            lr=lr, S=S, optimizer=optimizer, minibatch_size=minibatch_size
+        optimizer, warp_temperature_schedule = _resolve_recipe(
+            recipe, lr, n_epochs, optimizer, warp_temperature_schedule
         )
+        loop, opt_state = self._cached_train_loop(lr, S, optimizer, minibatch_size)
         if chunk_size is None:
             chunk_size = print_every or min(100, max(1, n_epochs))
         if convergence_checker is not None:
@@ -588,6 +631,19 @@ class VariationalGPSA:
         Accepts every ``fit`` option. Returns the winning run's loss trace
         and leaves the model holding the winning parameters.
         """
+        # Resolve a named recipe ONCE so every restart passes the same
+        # optimizer object to fit() — the compiled train loop is then reused
+        # across restarts (_cached_train_loop) instead of recompiling per
+        # restart.
+        opt, temps = _resolve_recipe(
+            fit_kwargs.pop("recipe", None),
+            fit_kwargs.get("lr", 1e-2),
+            n_epochs,
+            fit_kwargs.get("optimizer"),
+            fit_kwargs.get("warp_temperature_schedule"),
+        )
+        fit_kwargs["optimizer"] = opt
+        fit_kwargs["warp_temperature_schedule"] = temps
         best = None
         for r in range(n_restarts):
             self.reinitialize(seed0 + r)

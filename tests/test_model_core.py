@@ -405,3 +405,19 @@ def test_reinitialize_changes_params(two_view_data):
     m.reinitialize(1)
     after = np.asarray(m.params["Omega_sqt_G"])
     assert not np.allclose(before, after)
+
+
+def test_fit_reuses_compiled_loop_across_calls(two_view_data):
+    """Repeated fit() calls with the same training config (and fit_multistart
+    restarts in particular) must reuse the compiled train loop instead of
+    retracing per call."""
+    m = _tiny_model(two_view_data, seed=0)
+    m.fit(20, S=2)
+    loop1 = m._train_loop_cache["loop"]
+    m.fit(20, S=2)
+    assert m._train_loop_cache["loop"] is loop1
+    m.fit_multistart(n_epochs=20, n_restarts=2, S=2, verbose=False)
+    assert m._train_loop_cache["loop"] is loop1
+    # a different config must rebuild
+    m.fit(20, S=3)
+    assert m._train_loop_cache["loop"] is not loop1
