@@ -84,16 +84,19 @@ def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0):
     carry, losses = loop(carry, chunk)  # compile + warmup
     losses.block_until_ready()
 
-    n_total, t_total = 0, 0.0
+    # median of per-chunk rates: robust to transient host/tunnel stalls
+    # hitting a single dispatch
+    rates, t_total = [], 0.0
     while t_total < min_time:
         t0 = time.perf_counter()
         carry, losses = loop(carry, chunk)
         losses.block_until_ready()
-        t_total += time.perf_counter() - t0
-        n_total += chunk
+        dt = time.perf_counter() - t0
+        t_total += dt
+        rates.append(chunk / dt)
     flops_per_step = _flops_per_step(model, chunk)
     return (
-        n_total / t_total,
+        float(np.median(rates)),
         float(losses[-1]),
         jax.devices()[0].platform,
         flops_per_step,
@@ -177,10 +180,13 @@ def bench_reference(X, Y, n_samples_list, n_warmup=5, n_steps=25):
 
     for _ in range(n_warmup):
         step()
-    t0 = time.perf_counter()
+    # median per-step rate, same robustness treatment as our side
+    dts = []
     for _ in range(n_steps):
+        t0 = time.perf_counter()
         step()
-    return n_steps / (time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
+    return 1.0 / float(np.median(dts))
 
 
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip
