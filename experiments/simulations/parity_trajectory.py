@@ -55,10 +55,12 @@ def ours_trajectory(
 
     def cb(m, t, losses):
         # fit() invokes the callback after the chunk starting at epoch t has
-        # run, so the params reflect t + every epochs of training — label the
-        # point accordingly (torch's errors[t] is likewise post-step at t).
+        # run; the losses slice covers exactly the epochs trained so far, so
+        # its length is the correct post-chunk label even when the final
+        # chunk is shorter than ``every`` (torch's errors[k] is likewise the
+        # post-step error after k epochs).
         G, _, _, _ = m.forward({"expression": X}, vi, Ns)
-        errors[int(t) + every] = view_error(np.asarray(G["expression"]), view_idx)
+        errors[len(losses)] = view_error(np.asarray(G["expression"]), view_idx)
 
     t0 = time.time()
     model.fit(

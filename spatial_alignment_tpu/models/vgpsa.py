@@ -46,6 +46,18 @@ from .spec import (
 )
 
 
+_DEFAULT_LR = 1e-2  # shared by fit() and fit_multistart's recipe resolution
+
+
+def _tree_equal(a: dict, b: dict) -> bool:
+    """Structural + value equality of two small parameter pytrees."""
+    la, ta = jax.tree.flatten(a)
+    lb, tb = jax.tree.flatten(b)
+    return ta == tb and len(la) == len(lb) and all(
+        np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb)
+    )
+
+
 def _resolve_recipe(recipe, lr, n_epochs, optimizer, warp_temperature_schedule):
     """Expand a named training recipe into (optimizer, temperature schedule).
 
@@ -483,25 +495,37 @@ class VariationalGPSA:
         rebuilt every call — the scan donates its carry, so the previous
         opt_state's buffers are gone.
         """
-        key = (lr, S, minibatch_size, None if optimizer is None else id(optimizer))
+        key = (lr, S, minibatch_size)
         cache = getattr(self, "_train_loop_cache", None)
         if (
             cache is not None
             and cache["key"] == key
             and cache["optimizer"] is optimizer
+            # the loop closure captured these objects; anything that replaces
+            # them (load(), parallel.distribute(), a changed spec) must miss
+            and cache["spec"] is self.spec
+            and cache["consts"] is self.consts
+            and cache["batch"] is self._batch
         ):
             loop = cache["loop"]
             return loop, loop._tx.init(self.params)
         loop, opt_state = self.make_train_loop(
             lr=lr, S=S, optimizer=optimizer, minibatch_size=minibatch_size
         )
-        self._train_loop_cache = {"key": key, "optimizer": optimizer, "loop": loop}
+        self._train_loop_cache = {
+            "key": key,
+            "optimizer": optimizer,
+            "loop": loop,
+            "spec": self.spec,
+            "consts": self.consts,
+            "batch": self._batch,
+        }
         return loop, opt_state
 
     def fit(
         self,
         n_epochs: int,
-        lr: float = 1e-2,
+        lr: float = _DEFAULT_LR,
         S: int = 5,
         print_every: Optional[int] = None,
         callback=None,
@@ -599,13 +623,18 @@ class VariationalGPSA:
     def reinitialize(self, seed: int):
         """Draw a fresh parameter initialization (host-side; same spec)."""
         a = self._init_args
-        self.params, self.consts, self.spec = init_params(
+        self.params, consts, self.spec = init_params(
             self.spec, a["data_dict"], data_init=a["data_init"],
             grid_init=a["grid_init"], seed=seed,
             fixed_warp_kernel_variances=a["fixed_warp_kernel_variances"],
             fixed_warp_kernel_lengthscales=a["fixed_warp_kernel_lengthscales"],
             fixed_data_kernel_lengthscales=a["fixed_data_kernel_lengthscales"],
         )
+        # consts are seed-independent (fixed values / identity constants);
+        # keep the existing object when values match so cached train loops
+        # (_cached_train_loop) survive restarts instead of recompiling.
+        if not _tree_equal(consts, self.consts):
+            self.consts = consts
         self._key = jax.random.PRNGKey(seed)
         return self
 
@@ -637,7 +666,7 @@ class VariationalGPSA:
         # restart.
         opt, temps = _resolve_recipe(
             fit_kwargs.pop("recipe", None),
-            fit_kwargs.get("lr", 1e-2),
+            fit_kwargs.get("lr", _DEFAULT_LR),
             n_epochs,
             fit_kwargs.get("optimizer"),
             fit_kwargs.get("warp_temperature_schedule"),

@@ -421,3 +421,18 @@ def test_fit_reuses_compiled_loop_across_calls(two_view_data):
     # a different config must rebuild
     m.fit(20, S=3)
     assert m._train_loop_cache["loop"] is not loop1
+
+
+def test_fit_loop_cache_invalidated_when_state_replaced(two_view_data):
+    """Replacing consts/batch (load(), parallel.distribute()) must invalidate
+    the cached train loop — a stale closure would train against old state."""
+    m = _tiny_model(two_view_data, seed=0)
+    m.fit(10, S=2)
+    loop1 = m._train_loop_cache["loop"]
+    m.consts = dict(m.consts)  # new object, as load()/distribute() produce
+    m.fit(10, S=2)
+    assert m._train_loop_cache["loop"] is not loop1
+    loop2 = m._train_loop_cache["loop"]
+    m._batch = dict(m._batch)
+    m.fit(10, S=2)
+    assert m._train_loop_cache["loop"] is not loop2
