@@ -32,7 +32,7 @@ from .utils.preprocess import (
     pearson_residuals,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "VariationalGPSA",
