@@ -17,11 +17,9 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import core
 from ..models.spec import ModelSpec

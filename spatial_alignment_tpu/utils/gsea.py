@@ -15,7 +15,7 @@ maximum-magnitude excursion. Significance comes from permuting gene labels.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -18,7 +18,6 @@ rigid/affine map aligning view moments to template moments is recovered by
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
 
 import numpy as np
 
