@@ -58,22 +58,35 @@ def _tree_equal(a: dict, b: dict) -> bool:
     )
 
 
-def _resolve_recipe(recipe, lr, n_epochs, optimizer, warp_temperature_schedule):
+def _resolve_recipe(
+    recipe, lr, n_epochs, optimizer, warp_temperature_schedule, opt_cache=None
+):
     """Expand a named training recipe into (optimizer, temperature schedule).
 
     "accurate" = Adam under cosine lr decay to lr/100 + the temperature-0
     (deterministic-warp) objective — the converged-accuracy recipe
     (experiments/out/parity_vs_reference.json). Explicitly-passed
     optimizer/schedule always win.
+
+    ``opt_cache`` (a dict) memoizes the constructed optimizer per
+    (recipe, lr, n_epochs): _cached_train_loop keys the compiled scan on
+    optimizer *identity*, so a fresh optax object per fit() call would force
+    a retrace+recompile every time a recipe is used.
     """
     if recipe is not None:
         if recipe not in ("plain", "accurate"):
             raise ValueError(f"unknown recipe {recipe!r}")
         if recipe == "accurate":
             if optimizer is None:
-                optimizer = optax.adam(
-                    optax.cosine_decay_schedule(lr, n_epochs, alpha=1e-2)
-                )
+                key = (recipe, lr, n_epochs)
+                if opt_cache is not None and key in opt_cache:
+                    optimizer = opt_cache[key]
+                else:
+                    optimizer = optax.adam(
+                        optax.cosine_decay_schedule(lr, n_epochs, alpha=1e-2)
+                    )
+                    if opt_cache is not None:
+                        opt_cache[key] = optimizer
             if warp_temperature_schedule is None:
                 warp_temperature_schedule = lambda t: np.zeros_like(
                     np.asarray(t, np.float32)
@@ -565,7 +578,8 @@ class VariationalGPSA:
         benchmark.
         """
         optimizer, warp_temperature_schedule = _resolve_recipe(
-            recipe, lr, n_epochs, optimizer, warp_temperature_schedule
+            recipe, lr, n_epochs, optimizer, warp_temperature_schedule,
+            opt_cache=self.__dict__.setdefault("_recipe_opt_cache", {}),
         )
         loop, opt_state = self._cached_train_loop(lr, S, optimizer, minibatch_size)
         if chunk_size is None:
@@ -670,6 +684,7 @@ class VariationalGPSA:
             n_epochs,
             fit_kwargs.get("optimizer"),
             fit_kwargs.get("warp_temperature_schedule"),
+            opt_cache=self.__dict__.setdefault("_recipe_opt_cache", {}),
         )
         fit_kwargs["optimizer"] = opt
         fit_kwargs["warp_temperature_schedule"] = temps

@@ -423,6 +423,20 @@ def test_fit_reuses_compiled_loop_across_calls(two_view_data):
     assert m._train_loop_cache["loop"] is not loop1
 
 
+def test_fit_recipe_reuses_compiled_loop(two_view_data):
+    """fit(recipe="accurate") resolves the recipe to a memoized optimizer, so
+    back-to-back recipe fits with the same (lr, n_epochs) hit the loop cache
+    instead of recompiling (ADVICE r2)."""
+    m = _tiny_model(two_view_data, seed=0)
+    m.fit(20, S=2, recipe="accurate")
+    loop1 = m._train_loop_cache["loop"]
+    m.fit(20, S=2, recipe="accurate")
+    assert m._train_loop_cache["loop"] is loop1
+    # a different epoch count means a different decay schedule -> new loop
+    m.fit(30, S=2, recipe="accurate")
+    assert m._train_loop_cache["loop"] is not loop1
+
+
 def test_fit_loop_cache_invalidated_when_state_replaced(two_view_data):
     """Replacing consts/batch (load(), parallel.distribute()) must invalidate
     the cached train loop — a stale closure would train against old state."""
