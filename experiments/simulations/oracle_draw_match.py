@@ -43,7 +43,10 @@ def main():
     ap.add_argument("--n-match", type=int, default=3, help="closest draws to train")
     ap.add_argument("--epochs", type=int, default=10000)
     ap.add_argument("--restarts", type=int, default=1,
-                    help="ELBO-selected restarts per draw (fit_multistart)")
+                    help="restarts per draw (fit_multistart)")
+    ap.add_argument("--select", choices=["loss", "predictive"], default="loss",
+                    help="restart selection: tail-loss or held-out "
+                    "cross-view predictive likelihood (alignment-correlated)")
     args = ap.parse_args()
 
     scanned = []
@@ -62,7 +65,7 @@ def main():
         aligned = two_d_gpsa(
             X, Y, n_samples_list, args.epochs, {"expression": 5},
             fixed_view_idx=None, seed=seed, recipe="accurate",
-            n_restarts=args.restarts,
+            n_restarts=args.restarts, select=args.select,
         )
         err = view_error(aligned, view_idx)
         print(f"seed {seed}: observed {obs:.4f} -> denovo {err:.6f}")
@@ -73,6 +76,7 @@ def main():
         "recipe": "accurate",
         "n_epochs": args.epochs,
         "n_restarts": args.restarts,
+        "select": args.select,
         "matched_draws": results,
     }
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")

@@ -38,7 +38,7 @@ N_EPOCHS = 10000
 
 def two_d_gpsa(
     X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None, seed=0,
-    recipe="plain", variational="square", n_restarts=1,
+    recipe="plain", variational="square", n_restarts=1, select="loss",
 ):
     """recipe='accurate' trains with the deterministic-warp (temperature-0)
     objective under cosine lr decay — the converged-accuracy recipe from
@@ -68,7 +68,7 @@ def two_d_gpsa(
     if n_restarts > 1:
         losses = model.fit_multistart(
             n_epochs=n_epochs, n_restarts=n_restarts, seed0=seed * 100,
-            lr=1e-2, S=5, **fit_kw,
+            lr=1e-2, S=5, select=select, **fit_kw,
         )
     else:
         losses = model.fit(n_epochs=n_epochs, lr=1e-2, S=5, print_every=500, **fit_kw)

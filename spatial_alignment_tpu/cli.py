@@ -152,7 +152,13 @@ def cmd_align(args) -> int:
         os.path.join(args.out, "losses.csv"), losses, delimiter=",",
         header="neg_elbo", comments="",
     )
-    model.save(os.path.join(args.out, "model.npz"), step=args.epochs)
+    # Self-contained: spec + data + optimizer state embedded, so `predict`
+    # (and fit(resume_from=...)) need no model flags or data files.
+    model.save(
+        os.path.join(args.out, "model.npz"),
+        step=args.epochs,
+        extra={"normalize": bool(args.normalize), "seed": args.seed},
+    )
 
     pre = post = None
     if len(n_samples_list) == 2 and n_samples_list[0] == n_samples_list[1]:
@@ -177,10 +183,24 @@ def cmd_align(args) -> int:
 
 
 def cmd_predict(args) -> int:
-    X, Y, n_samples_list = _load_views(args)
-    data_dict = build_data_dict(X, Y, n_samples_list, normalize=args.normalize)
-    model = _build_model(args, data_dict)
-    model.load(args.checkpoint)
+    from .models.vgpsa import VariationalGPSA
+
+    try:
+        # Self-contained checkpoint: spec + params + training data embedded —
+        # no model flags, no original data files needed (ADVICE r2: the old
+        # flag re-derivation silently mis-loaded mismatched configs).
+        model = VariationalGPSA.load(args.checkpoint)
+    except ValueError:
+        # Pre-round-3 checkpoint (params/consts only): fall back to
+        # rebuilding the model from data + CLI flags, as before.
+        X, Y, n_samples_list = _load_views(args)
+        data_dict = build_data_dict(X, Y, n_samples_list, normalize=args.normalize)
+        model = _build_model(args, data_dict)
+        model.load(args.checkpoint)
+
+    mod_name = model.spec.modality_names[0]
+    n_views = model.spec.n_views
+    D = model.spec.n_spatial_dims
 
     if args.at:
         import csv as _csv
@@ -189,25 +209,44 @@ def cmd_predict(args) -> int:
             rows = list(_csv.reader(f))
         start = 1 if any(not _is_float(c) for c in rows[0]) else 0
         new_x = np.asarray(
-            [[float(c) for c in r[: X.shape[1]]] for r in rows[start:]], np.float32
+            [[float(c) for c in r[:D]] for r in rows[start:]], np.float32
         )
         # align the same new points through every view's warp posterior
         vi = {
-            "expression": [
+            mod_name: [
                 np.arange(v * new_x.shape[0], (v + 1) * new_x.shape[0])
-                for v in range(len(n_samples_list))
+                for v in range(n_views)
             ]
         }
-        coords = np.tile(new_x, (len(n_samples_list), 1))
+        coords = np.tile(new_x, (n_views, 1))
+    elif args.h5ad or args.coords:
+        X, _, n_samples_list = _load_views(args)
+        coords = np.asarray(X, np.float32)
+        slices = np.insert(np.cumsum(n_samples_list), 0, 0)
+        vi = {
+            mod_name: [
+                np.arange(slices[v], slices[v + 1]) for v in range(n_views)
+            ]
+        }
     else:
-        coords = data_dict["expression"]["spatial_coords"]
+        # default: the training coordinates stored in the checkpoint
+        if model._batch is None:
+            raise SystemExit(
+                "checkpoint has no embedded data (saved with "
+                "include_data=False); pass --at or --h5ad/--coords"
+            )
+        from .models.spec import unpack_points
+
+        coords = unpack_points(
+            model.spec, mod_name, np.asarray(model._batch[mod_name]["coords"])
+        )
         vi = None
 
-    G_means, F_mean, F_var = model.predict({"expression": coords}, vi)
+    G_means, F_mean, F_var = model.predict({mod_name: coords}, vi)
     os.makedirs(args.out, exist_ok=True)
-    aligned = np.asarray(G_means["expression"])
-    mu = np.asarray(F_mean["expression"])
-    var = np.asarray(F_var["expression"])
+    aligned = np.asarray(G_means[mod_name])
+    mu = np.asarray(F_mean[mod_name])
+    var = np.asarray(F_var[mod_name])
     np.savetxt(
         os.path.join(args.out, "aligned_coords.csv"), aligned, delimiter=",",
         header=",".join(f"aligned_x{i}" for i in range(aligned.shape[1])), comments="",

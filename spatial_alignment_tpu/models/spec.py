@@ -111,6 +111,37 @@ class ModelSpec:
         return dataclasses.replace(self, **kw)
 
 
+def spec_to_dict(spec: ModelSpec) -> dict:
+    """JSON-serializable dict of a ModelSpec (for self-contained checkpoints).
+
+    Everything in the spec is ints/strs/bools/floats/tuples, so
+    ``dataclasses.asdict`` plus tuple->list is a faithful round trip with
+    ``spec_from_dict``.
+    """
+    return dataclasses.asdict(spec)
+
+
+def spec_from_dict(d: dict) -> ModelSpec:
+    """Inverse of ``spec_to_dict`` (lists from JSON become tuples again)."""
+    mods = tuple(
+        ModalitySpec(
+            name=m["name"],
+            n_padded=int(m["n_padded"]),
+            n_outputs=int(m["n_outputs"]),
+            n_latent=int(m["n_latent"]),
+            use_lmc=bool(m["use_lmc"]),
+            n_samples=tuple(int(c) for c in m["n_samples"]),
+        )
+        for m in d["modalities"]
+    )
+    rest = {k: v for k, v in d.items() if k not in ("modalities", "fixed_view_mask")}
+    return ModelSpec(
+        modalities=mods,
+        fixed_view_mask=tuple(bool(b) for b in d["fixed_view_mask"]),
+        **rest,
+    )
+
+
 def _as_numpy(x) -> np.ndarray:
     """Accept numpy / jax / torch-cpu arrays."""
     if hasattr(x, "detach"):  # torch tensor

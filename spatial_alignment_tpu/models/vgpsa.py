@@ -49,6 +49,33 @@ from .spec import (
 _DEFAULT_LR = 1e-2  # shared by fit() and fit_multistart's recipe resolution
 
 
+class _hybridmethod:
+    """Descriptor: method receives the instance when called on one, the class
+    when called on the class (used so ``VariationalGPSA.load(path)`` builds a
+    model from a self-contained checkpoint while ``model.load(path)`` keeps
+    restoring in place)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+        self.__doc__ = fn.__doc__
+
+    def __get__(self, obj, objtype=None):
+        return partial(self.fn, obj if obj is not None else objtype)
+
+
+def _nest_flat(flat: dict) -> dict:
+    """Rebuild a nested string-keyed dict pytree from slash-joined paths
+    (the params/consts/batch pytrees are all nested dicts)."""
+    out: dict = {}
+    for key, arr in flat.items():
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(arr)
+    return out
+
+
 def _tree_equal(a: dict, b: dict) -> bool:
     """Structural + value equality of two small parameter pytrees."""
     la, ta = jax.tree.flatten(a)
@@ -183,6 +210,27 @@ class VariationalGPSA:
             fixed_warp_kernel_variances=fixed_warp_kernel_variances,
             fixed_warp_kernel_lengthscales=fixed_warp_kernel_lengthscales,
             fixed_data_kernel_lengthscales=fixed_data_kernel_lengthscales,
+        )
+        # Full constructor config (minus data) — lets fit_multistart build a
+        # structurally identical sub-model on a train/holdout split.
+        self._ctor_kwargs = dict(
+            m_X_per_view=m_X_per_view, m_G=m_G, data_init=data_init,
+            grid_init=grid_init,
+            n_noise_variance_params=n_noise_variance_params,
+            kernel_func_warp=kernel_func_warp,
+            kernel_func_data=kernel_func_data,
+            n_latent_gps=n_latent_gps, mean_function=mean_function,
+            mean_penalty_param=mean_penalty_param,
+            fixed_warp_kernel_variances=fixed_warp_kernel_variances,
+            fixed_warp_kernel_lengthscales=fixed_warp_kernel_lengthscales,
+            fixed_data_kernel_lengthscales=fixed_data_kernel_lengthscales,
+            fixed_view_idx=fixed_view_idx, seed=seed,
+            reference_sample_scale=reference_sample_scale,
+            diagonal_offset=diagonal_offset, pad_multiple=pad_multiple,
+            data_chunk_size=data_chunk_size,
+            analytic_data_likelihood=analytic_data_likelihood,
+            svgp_matmul_precision=svgp_matmul_precision,
+            triangular_variational=triangular_variational,
         )
 
         # Reference-parity bookkeeping attributes (used by plotting callbacks)
@@ -549,6 +597,7 @@ class VariationalGPSA:
         average_last: Optional[int] = None,
         minibatch_size: Optional[int] = None,
         recipe: Optional[str] = None,
+        resume_from: Optional[str] = None,
     ) -> np.ndarray:
         """Adam training loop (reference pattern: examples/grid_example.py:59-88).
 
@@ -568,6 +617,11 @@ class VariationalGPSA:
         subsample (stochastic variational inference); per-step cost becomes
         independent of the total spot count. The returned loss trace holds the
         per-step minibatch estimates.
+        ``resume_from=path`` restores params, Adam moments, the RNG carry key
+        and the epoch counter from a checkpoint written by ``save()`` after a
+        previous ``fit`` and trains ``n_epochs`` MORE epochs — bit-identical
+        to never having stopped (same optimizer config required; temperature
+        schedules are evaluated at the continued epoch numbers).
         ``recipe="accurate"`` applies the converged-accuracy recipe measured
         in experiments/out/parity_vs_reference.json — Adam under cosine lr
         decay to lr/100 plus the temperature-0 (deterministic-warp)
@@ -577,17 +631,46 @@ class VariationalGPSA:
         3.5-5.5x below the reference's converged error on the synthetic
         benchmark.
         """
+        if self._batch is None:
+            raise RuntimeError(
+                "this model was loaded from a checkpoint saved with "
+                "include_data=False — it can predict but has no training "
+                "batch to fit on"
+            )
         optimizer, warp_temperature_schedule = _resolve_recipe(
             recipe, lr, n_epochs, optimizer, warp_temperature_schedule,
             opt_cache=self.__dict__.setdefault("_recipe_opt_cache", {}),
         )
         loop, opt_state = self._cached_train_loop(lr, S, optimizer, minibatch_size)
+        epoch0 = 0
+        if resume_from is not None:
+            from ..utils.checkpoint import (
+                load_checkpoint,
+                load_checkpoint_blob,
+                unflatten_into,
+            )
+
+            blob = load_checkpoint_blob(resume_from)
+            self.params, self.consts = load_checkpoint(
+                resume_from, self.params, self.consts
+            )
+            if not blob["opt"] or blob["rng_key"] is None:
+                raise ValueError(
+                    f"{resume_from} carries no optimizer state / RNG key; it "
+                    "was saved before any fit() or with include_opt=False — "
+                    "cannot resume exactly (start a fresh fit instead)"
+                )
+            opt_state = unflatten_into(opt_state, blob["opt"])
+            carry_key = jnp.asarray(blob["rng_key"])
+            epoch0 = int(blob["manifest"].get("step") or 0)
+        else:
+            carry_key = self._next_key()
         if chunk_size is None:
             chunk_size = print_every or min(100, max(1, n_epochs))
         if convergence_checker is not None:
             chunk_size = min(chunk_size, 10)
         losses = np.zeros(n_epochs, np.float64)
-        carry = (self.params, opt_state, self._next_key())
+        carry = (self.params, opt_state, carry_key)
         avg_start = n_epochs - average_last if average_last else n_epochs
         params_sum, n_snapshots = None, 0
         t = 0
@@ -601,7 +684,8 @@ class VariationalGPSA:
                 n = min(n, avg_start - t)  # first snapshot lands at avg_start
             if warp_temperature_schedule is not None:
                 arg = np.asarray(
-                    warp_temperature_schedule(np.arange(t, t + n)), np.float32
+                    warp_temperature_schedule(np.arange(epoch0 + t, epoch0 + t + n)),
+                    np.float32,
                 )
             else:
                 arg = n
@@ -632,10 +716,20 @@ class VariationalGPSA:
             self.params = jax.tree.map(lambda s: s / n_snapshots, params_sum)
         else:
             self.params = carry[0]
+        # Stash the live training state so save() can write a checkpoint
+        # fit(resume_from=...) continues from exactly (Adam moments + RNG).
+        self._opt_state = carry[1]
+        self._carry_key = carry[2]
+        self._epoch = epoch0 + len(losses)
         return losses
 
     def reinitialize(self, seed: int):
         """Draw a fresh parameter initialization (host-side; same spec)."""
+        if self._init_args is None:
+            raise RuntimeError(
+                "reinitialize() needs the original data_dict; this model was "
+                "rebuilt from a checkpoint (VariationalGPSA.load)"
+            )
         a = self._init_args
         self.params, consts, self.spec = init_params(
             self.spec, a["data_dict"], data_init=a["data_init"],
@@ -652,6 +746,79 @@ class VariationalGPSA:
         self._key = jax.random.PRNGKey(seed)
         return self
 
+    def _holdout_split(self, frac: float, rng: np.random.Generator):
+        """Host-side train/holdout split of the original data_dict.
+
+        Drops ``frac`` of each NON-fixed view's spots (the template view is
+        never held out — its coords pass through unchanged, so its points
+        carry no alignment signal). Returns (train_data_dict, holdout) where
+        holdout = {mod: {"X": (n_h, D), "Y": (n_h, P), "counts": [per-view]}}.
+        """
+        src = self._init_args["data_dict"]
+        train, holdout = {}, {}
+        for mod in self.spec.modalities:
+            X = _as_numpy(src[mod.name]["spatial_coords"]).astype(np.float32)
+            Y = _as_numpy(src[mod.name]["outputs"]).astype(np.float32)
+            Xt, Yt, Xh, Yh = [], [], [], []
+            counts_t, counts_h = [], []
+            for v, (lo, hi) in enumerate(view_slices(mod.n_samples)):
+                n_v = hi - lo
+                if self.spec.fixed_view_mask[v] or n_v < 4:
+                    keep = np.arange(n_v)
+                    drop = np.zeros(0, np.int64)
+                else:
+                    n_h = max(1, int(round(frac * n_v)))
+                    perm = rng.permutation(n_v)
+                    drop, keep = np.sort(perm[:n_h]), np.sort(perm[n_h:])
+                Xt.append(X[lo:hi][keep])
+                Yt.append(Y[lo:hi][keep])
+                Xh.append(X[lo:hi][drop])
+                Yh.append(Y[lo:hi][drop])
+                counts_t.append(int(keep.size))
+                counts_h.append(int(drop.size))
+            train[mod.name] = {
+                "spatial_coords": np.concatenate(Xt),
+                "outputs": np.concatenate(Yt),
+                "n_samples_list": counts_t,
+            }
+            holdout[mod.name] = {
+                "X": np.concatenate(Xh),
+                "Y": np.concatenate(Yh),
+                "counts": counts_h,
+            }
+        return train, holdout
+
+    def _predictive_score(self, sub_model, holdout) -> float:
+        """Mean held-out predictive log-likelihood under the trained model.
+
+        Held-out coords are warped through the restart's warp posterior and
+        scored against the data GP's analytic moments (deterministic
+        ``predict``); predictive variance adds the learned noise scale
+        (reference quirk: exp(noise_variance)+offset IS the scale)."""
+        spec = sub_model.spec
+        vi = {}
+        X_h = {}
+        for mod in spec.modalities:
+            counts = holdout[mod.name]["counts"]
+            cs = np.insert(np.cumsum(counts), 0, 0)
+            vi[mod.name] = [
+                np.arange(cs[v], cs[v + 1]) for v in range(spec.n_views)
+            ]
+            X_h[mod.name] = holdout[mod.name]["X"]
+        _, F_mean, F_var = sub_model.predict(X_h, vi)
+        hp = merge_hyperparams(sub_model.params, sub_model.consts)
+        noise_pos = np.exp(np.asarray(hp["noise_variance"])) + spec.diagonal_offset
+        total, n = 0.0, 0
+        for mm, mod in enumerate(spec.modalities):
+            scale = noise_pos[-spec.n_modalities + mm]
+            mu = np.asarray(F_mean[mod.name])
+            var = np.asarray(F_var[mod.name]) + scale**2
+            y = holdout[mod.name]["Y"]
+            lp = -0.5 * (y - mu) ** 2 / var - 0.5 * np.log(2.0 * np.pi * var)
+            total += float(lp.sum())
+            n += lp.size
+        return total / max(n, 1)
+
     def fit_multistart(
         self,
         n_epochs: int,
@@ -659,10 +826,12 @@ class VariationalGPSA:
         seed0: int = 0,
         tail: int = 200,
         verbose: bool = True,
+        select: str = "loss",
+        holdout_frac: float = 0.1,
         **fit_kwargs,
     ) -> np.ndarray:
         """Train from ``n_restarts`` independent initializations and keep the
-        run with the best (lowest) mean loss over the final ``tail`` epochs.
+        best restart.
 
         SVI alignment has initialization-dependent local optima: across
         restarts the converged aligned-view error can span 10x+, and the
@@ -670,6 +839,21 @@ class VariationalGPSA:
         in experiments/out/accuracy_robustness.json follow-up: the best-tail-
         loss restart reached oracle-level de-novo error on the worst draw).
         The reference offers no equivalent; practitioners restart by hand.
+
+        ``select`` chooses the winner:
+          * ``"loss"`` (default) — lowest mean training loss over the final
+            ``tail`` epochs. Cheap, but the ELBO decouples from view-overlap
+            error near convergence (experiments/out/parity_trajectory.json),
+            so the best-ELBO restart is not always the best-aligned one.
+          * ``"predictive"`` — alignment-correlated selection: each restart
+            trains on a split with ``holdout_frac`` of every non-template
+            view's spots dropped, is scored by held-out predictive
+            log-likelihood through the deterministic ``predict()``, and the
+            winning seed is then retrained on the full data. A restart whose
+            views are internally consistent but mutually misaligned predicts
+            held-out spots poorly (the data GP's cross-view neighbors
+            disagree), which is exactly the failure the training loss can't
+            see.
 
         Accepts every ``fit`` option. Returns the winning run's loss trace
         and leaves the model holding the winning parameters.
@@ -688,6 +872,41 @@ class VariationalGPSA:
         )
         fit_kwargs["optimizer"] = opt
         fit_kwargs["warp_temperature_schedule"] = temps
+
+        if select == "predictive":
+            if self._init_args is None:
+                raise RuntimeError(
+                    "select='predictive' needs the original data_dict "
+                    "(unavailable on checkpoint-loaded models)"
+                )
+            rng = np.random.default_rng(seed0)
+            train_dd, holdout = self._holdout_split(holdout_frac, rng)
+            sub = type(self)(train_dd, **self._ctor_kwargs)
+            best_seed, best_score = None, -np.inf
+            for r in range(n_restarts):
+                seed = seed0 + r
+                sub.reinitialize(seed)
+                sub.fit(n_epochs=n_epochs, **fit_kwargs)
+                score = self._predictive_score(sub, holdout)
+                if verbose:
+                    print(
+                        f"restart {r}: held-out predictive ll {score:.4f}",
+                        flush=True,
+                    )
+                if np.isfinite(score) and score > best_score:
+                    best_seed, best_score = seed, score
+            if best_seed is None:
+                raise RuntimeError(
+                    "fit_multistart: no restart produced a finite "
+                    "held-out predictive likelihood"
+                )
+            if verbose:
+                print(f"winner: seed {best_seed}; retraining on full data", flush=True)
+            self.reinitialize(best_seed)
+            return self.fit(n_epochs=n_epochs, **fit_kwargs)
+        if select != "loss":
+            raise ValueError(f"unknown select {select!r}")
+
         best = None
         for r in range(n_restarts):
             self.reinitialize(seed0 + r)
@@ -706,18 +925,115 @@ class VariationalGPSA:
         self.params = best[1]
         return best[2]
 
-    def save(self, path: str, step: Optional[int] = None):
-        """Checkpoint params + frozen hyperparameters to ``path`` (.npz)."""
+    def save(
+        self,
+        path: str,
+        step: Optional[int] = None,
+        include_data: bool = True,
+        include_opt: bool = True,
+        extra: Optional[dict] = None,
+    ):
+        """Self-contained checkpoint to ``path`` (.npz + .json manifest).
+
+        Stores params, frozen hyperparameters, the serialized ``ModelSpec``
+        (so ``VariationalGPSA.load(path)`` needs no constructor args),
+        and — unless disabled — the packed training batch, the optimizer
+        state and the RNG carry key from the last ``fit`` (so
+        ``fit(resume_from=path)`` continues training exactly where the
+        interrupted run stopped, Adam moments and RNG stream included).
+        The reference has no save/restore at all (SURVEY.md §5).
+        """
         from ..utils.checkpoint import save_checkpoint
 
-        save_checkpoint(path, self.params, self.consts, step=step)
+        save_checkpoint(
+            path,
+            self.params,
+            self.consts,
+            step=step if step is not None else getattr(self, "_epoch", None),
+            extra=extra,
+            spec=self.spec,
+            batch=self._batch if include_data else None,
+            opt_state=getattr(self, "_opt_state", None) if include_opt else None,
+            rng_key=getattr(self, "_carry_key", None) if include_opt else None,
+        )
 
-    def load(self, path: str):
-        """Restore a checkpoint written by ``save`` (shapes must match)."""
-        from ..utils.checkpoint import load_checkpoint
+    @_hybridmethod
+    def load(self_or_cls, path: str):
+        """Restore a checkpoint written by ``save``.
 
-        self.params, self.consts = load_checkpoint(path, self.params, self.consts)
-        return self
+        Two forms:
+          * ``model.load(path)`` — restore params/consts into an existing
+            model (shapes must match; works with any checkpoint version);
+          * ``VariationalGPSA.load(path)`` — rebuild a full working model
+            from a self-contained checkpoint alone (spec + data embedded;
+            no constructor arguments, no original data files).
+        """
+        from ..utils.checkpoint import (
+            load_checkpoint,
+            load_checkpoint_blob,
+            unflatten_into,
+        )
+
+        if not isinstance(self_or_cls, type):
+            model = self_or_cls
+            model.params, model.consts = load_checkpoint(
+                path, model.params, model.consts
+            )
+            model._restore_training_state(path)
+            return model
+
+        cls = self_or_cls
+        blob = load_checkpoint_blob(path)
+        spec_dict = blob["manifest"].get("spec")
+        if spec_dict is None:
+            raise ValueError(
+                f"{path} is not self-contained (no spec in its manifest); "
+                "construct the model and call model.load(path) instead"
+            )
+        from .spec import spec_from_dict
+
+        spec = spec_from_dict(spec_dict)
+        model = cls.__new__(cls)
+        model.spec = spec
+        # Rebuild nested pytrees from the flat path->array maps. params and
+        # consts are (possibly nested) dicts keyed by strings.
+        model.params = _nest_flat(blob["params"])
+        model.consts = _nest_flat(blob["consts"])
+        if blob["data"]:
+            batch = _nest_flat(blob["data"])
+            model._batch = jax.tree.map(jnp.asarray, batch)
+        else:
+            model._batch = None
+        model._key = jax.random.PRNGKey(int(blob["manifest"].get("seed", 0)))
+        model._last_aux = None
+        model._init_args = None  # reinitialize() needs the original data
+        model._restore_training_state(path, blob=blob)
+
+        fixed_idxs = [i for i, b in enumerate(spec.fixed_view_mask) if b]
+        model.fixed_view_idx = (
+            None
+            if not fixed_idxs
+            else (fixed_idxs[0] if len(fixed_idxs) == 1 else fixed_idxs)
+        )
+        vi, Ns, Ps, n_total = create_view_idx_dict(spec)
+        model.view_idx, model.Ns, model.Ps, model.n_total = vi, Ns, Ps, n_total
+        model.n_latent_gps = {
+            m.name: (m.n_latent if m.use_lmc else None) for m in spec.modalities
+        }
+        return model
+
+    def _restore_training_state(self, path: str, blob=None):
+        """Pick up opt-state/RNG/epoch sections if the checkpoint has them
+        (they are restored lazily by fit(resume_from=...); here we just stash
+        the flat arrays)."""
+        from ..utils.checkpoint import load_checkpoint_blob
+
+        if blob is None:
+            blob = load_checkpoint_blob(path)
+        self._ckpt_opt_flat = blob["opt"] or None
+        if blob["rng_key"] is not None:
+            self._carry_key = jnp.asarray(blob["rng_key"])
+        self._epoch = int(blob["manifest"].get("step") or 0)
 
     def neg_elbo(self, S: int = 5, key: Optional[jax.Array] = None) -> float:
         """Single fused ELBO evaluation on the training batch."""

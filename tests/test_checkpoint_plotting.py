@@ -45,6 +45,73 @@ def test_checkpoint_roundtrip(tmp_path, two_view_data):
     np.testing.assert_allclose(e1, e2, rtol=1e-6)
 
 
+def test_selfcontained_load_no_constructor_args(tmp_path, two_view_data):
+    """VariationalGPSA.load(path) rebuilds a working model from the
+    checkpoint alone: spec, params, consts and training data all embedded."""
+    model = _model(two_view_data, fixed_view_idx=0, triangular_variational=True)
+    model.fit(10, S=2)
+    path = str(tmp_path / "self.npz")
+    model.save(path)
+
+    m2 = sat.VariationalGPSA.load(path)
+    assert m2.spec == model.spec
+    assert m2.fixed_view_idx == 0
+    key = jax.random.PRNGKey(3)
+    e1 = float(core.negative_elbo(model.spec, model.params, model.consts, model._batch, key, 2))
+    e2 = float(core.negative_elbo(m2.spec, m2.params, m2.consts, m2._batch, key, 2))
+    np.testing.assert_allclose(e1, e2, rtol=1e-6)
+    # the rebuilt model can keep training and predicting
+    losses = m2.fit(5, S=2)
+    assert np.isfinite(losses).all()
+    X = two_view_data["expression"]["spatial_coords"]
+    G, F, V = m2.predict({"expression": X})
+    assert np.isfinite(np.asarray(G["expression"])).all()
+    # reinitialize needs the original data -> informative error
+    with pytest.raises(RuntimeError, match="reinitialize"):
+        m2.reinitialize(1)
+
+
+def test_load_without_spec_raises(tmp_path, two_view_data):
+    from spatial_alignment_tpu.utils.checkpoint import save_checkpoint
+
+    model = _model(two_view_data)
+    path = str(tmp_path / "old.npz")
+    save_checkpoint(path, model.params, model.consts)  # pre-round-3 format
+    with pytest.raises(ValueError, match="self-contained"):
+        sat.VariationalGPSA.load(path)
+    # instance-method restore still works on the old format
+    model.load(path)
+
+
+def test_kill_and_resume_matches_uninterrupted(tmp_path, two_view_data):
+    """fit(60) == fit(30) + save + load-in-fresh-model + fit(30, resume):
+    same params to float tolerance — Adam moments and the RNG carry key
+    survive the checkpoint (VERDICT r2 item 7)."""
+    import optax
+
+    tx = optax.adam(1e-2)
+    ref = _model(two_view_data, seed=7)
+    ref.fit(60, S=2, optimizer=tx)
+
+    m = _model(two_view_data, seed=7)
+    m.fit(30, S=2, optimizer=tx)
+    path = str(tmp_path / "mid.npz")
+    m.save(path)
+
+    m2 = sat.VariationalGPSA.load(path)
+    m2.fit(30, S=2, optimizer=tx, resume_from=path)
+    assert m2._epoch == 60
+
+    ra, _ = jax.tree_util.tree_flatten_with_path(ref.params)
+    rb = jax.tree.leaves(m2.params)
+    assert len(ra) == len(rb)
+    for (path, a), b in zip(ra, rb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_checkpoint_shape_mismatch_raises(tmp_path, two_view_data):
     model = _model(two_view_data)
     path = str(tmp_path / "ckpt.npz")

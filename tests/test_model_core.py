@@ -423,6 +423,36 @@ def test_fit_reuses_compiled_loop_across_calls(two_view_data):
     assert m._train_loop_cache["loop"] is not loop1
 
 
+def test_fit_multistart_predictive_select(two_view_data):
+    """select='predictive' trains restarts on a holdout split, scores them by
+    held-out predictive likelihood, and retrains the winner on full data."""
+    m = _tiny_model(two_view_data, seed=0)
+    losses = m.fit_multistart(
+        n_epochs=40, n_restarts=2, S=2, select="predictive", verbose=False
+    )
+    assert losses.shape == (40,) and np.isfinite(losses).all()
+    # the final model holds full-data-trained params (fit ran on self)
+    assert m._epoch == 40
+    with np.testing.assert_raises(ValueError):
+        m.fit_multistart(n_epochs=5, n_restarts=2, select="bogus")
+
+
+def test_holdout_split_respects_template(two_view_data):
+    m = _tiny_model(two_view_data, seed=0, fixed_view_idx=0)
+    rng = np.random.default_rng(0)
+    train, holdout = m._holdout_split(0.2, rng)
+    counts = train["expression"]["n_samples_list"]
+    h_counts = holdout["expression"]["counts"]
+    orig = two_view_data["expression"]["n_samples_list"]
+    assert counts[0] == orig[0] and h_counts[0] == 0  # template untouched
+    assert counts[1] == orig[1] - h_counts[1] and h_counts[1] == round(0.2 * orig[1])
+    # holdout points are real points from the source view
+    X = two_view_data["expression"]["spatial_coords"]
+    v1 = X[orig[0]:]
+    for x in holdout["expression"]["X"]:
+        assert (np.abs(v1 - x).sum(1) < 1e-6).any()
+
+
 def test_fit_recipe_reuses_compiled_loop(two_view_data):
     """fit(recipe="accurate") resolves the recipe to a memoized optimizer, so
     back-to-back recipe fits with the same (lr, n_epochs) hit the loop cache
