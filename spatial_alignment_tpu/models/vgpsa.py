@@ -460,8 +460,31 @@ class VariationalGPSA:
     # ------------------------------------------------------------------
     def _loss_fn(self, minibatch_size: Optional[int]):
         """(params, key, S, temp) -> scalar loss, closing over spec/consts/
-        batch; the minibatch variant subsamples points on device each call."""
+        batch; the minibatch variant subsamples points on device each call.
+
+        On a distributed model (after ``parallel.distribute``), minibatch
+        training routes through the explicit shard_map executor's STRATIFIED
+        per-shard sampler: each shard draws B/n_shards points from its own
+        local block, so the subsample gather is communication-free — the only
+        cross-shard collective in the step is the likelihood/gradient psum.
+        (Under plain pjit, ``core.subsample_batch``'s device-wide gather
+        forces XLA to insert cross-shard collectives every step.)
+        """
         spec, consts, batch = self.spec, self.consts, self._batch
+        mesh = getattr(self, "_mesh", None)
+        if minibatch_size is not None and mesh is not None:
+            from ..parallel.shardmap import _build_shardmap_fn
+
+            memo = {}  # one shard_map program per distinct S
+
+            def loss(params, key, S, temp):
+                if S not in memo:
+                    memo[S] = _build_shardmap_fn(
+                        spec, mesh, S, minibatch_size=minibatch_size
+                    )
+                return memo[S](params, consts, batch, key, jnp.float32(temp))
+
+            return loss
         if minibatch_size is None:
             return lambda params, key, S, temp: core.negative_elbo(
                 spec, params, consts, batch, key, S, temp

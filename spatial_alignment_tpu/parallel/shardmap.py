@@ -59,7 +59,7 @@ def make_shardmap_neg_elbo(
 
     @jax.jit
     def neg_elbo(params, batch, key):
-        return fn(params, consts, batch, key)
+        return fn(params, consts, batch, key, jnp.float32(1.0))
 
     return neg_elbo
 
@@ -89,7 +89,7 @@ def make_shardmap_train_step(
     @jax.jit
     def step(params, opt_state, batch, key):
         loss, grads = jax.value_and_grad(
-            lambda p: fn(p, consts, batch, key)
+            lambda p: fn(p, consts, batch, key, jnp.float32(1.0))
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -144,7 +144,7 @@ def _build_shardmap_fn(spec: ModelSpec, mesh: Mesh, S: int, minibatch_size=None)
             )
         mb_lspec = core.minibatch_spec(lspec, minibatch_size // n_shards)
 
-        def local_fn_mb(params, consts, batch, key):
+        def local_fn_mb(params, consts, batch, key, temp):
             # No single-device bit-parity claim in minibatch mode (index draws
             # are per-shard by construction): each shard folds its axis index
             # into the key and draws local-shaped noise directly. The psum'd
@@ -159,7 +159,7 @@ def _build_shardmap_fn(spec: ModelSpec, mesh: Mesh, S: int, minibatch_size=None)
                 sub = _local_minibatch(lspec, mb_lspec, batch, k_idx)
                 X_all, _ = core._concat_modalities(mb_lspec, sub)
                 G_mean, G_samp, warp_aux = core.warp_layer(
-                    mb_lspec, hp, X_all, k_warp, S
+                    mb_lspec, hp, X_all, k_warp, S, temperature=temp
                 )
                 G_samples = core._split_modalities(mb_lspec, G_samp, axis=2)
                 F_latent, F_obs, data_aux = core.data_layer(
@@ -184,7 +184,7 @@ def _build_shardmap_fn(spec: ModelSpec, mesh: Mesh, S: int, minibatch_size=None)
 
         return _wrap_shardmap(spec, mesh, local_fn_mb)
 
-    def local_fn(params, consts, batch, key):
+    def local_fn(params, consts, batch, key, temp):
         idx = jax.lax.axis_index(DATA_AXIS)
         hp = dict(consts)
         hp.update(params)
@@ -214,7 +214,7 @@ def _build_shardmap_fn(spec: ModelSpec, mesh: Mesh, S: int, minibatch_size=None)
             w_noise = jnp.concatenate(w_noise_parts, axis=2)
 
             G_mean, G_samp, warp_aux = core.warp_layer(
-                lspec, hp, X_all_local, k_warp, S, noise=w_noise
+                lspec, hp, X_all_local, k_warp, S, temperature=temp, noise=w_noise
             )
             G_samples = core._split_modalities(lspec, G_samp, axis=2)
 
@@ -271,7 +271,7 @@ def _wrap_shardmap(spec: ModelSpec, mesh: Mesh, local_fn):
     return shard_map(
         partial(local_fn),
         mesh=mesh,
-        in_specs=(P(), P(), batch_specs, P()),
+        in_specs=(P(), P(), batch_specs, P(), P()),
         out_specs=P(),
         check_vma=False,
     )

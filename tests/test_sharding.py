@@ -317,9 +317,9 @@ def test_shardmap_minibatch_training_improves_elbo():
 
 
 def test_pjit_distribute_composes_with_minibatch():
-    """The committed-layout pjit path accepts minibatch training (XLA inserts
-    the cross-shard gather); the explicit shard_map executor is the
-    zero-communication variant."""
+    """Minibatch training on a distributed model (round 3): make_train_step /
+    fit route through the stratified per-shard shard_map sampler, so the
+    subsample never gathers across shards."""
     data = make_two_view_data(n_per_view=24, n_outputs=4)
     model = _model(data, pad_multiple=4)
     distribute(model, make_mesh(4))
@@ -329,3 +329,73 @@ def test_pjit_distribute_composes_with_minibatch():
         key, sub = jax.random.split(key)
         params, opt, loss = step(params, opt, sub)
     assert np.isfinite(float(loss))
+
+
+def test_distributed_minibatch_step_has_no_cross_shard_gather():
+    """The compiled distributed minibatch train step must contain NO
+    collective beyond the gradient/likelihood all-reduce: no all-gather, no
+    all-to-all, no collective-permute (VERDICT r2 item 2 — under pjit the
+    device-side subsample gather forced XLA-inserted cross-shard
+    collectives every step)."""
+    data = make_two_view_data(n_per_view=24, n_outputs=4)
+    model = _model(data, pad_multiple=4)
+    distribute(model, make_mesh(4))
+    step, opt = model.make_train_step(lr=1e-2, S=2, minibatch_size=12)
+    key = jax.random.PRNGKey(0)
+    hlo = step.lower(model.params, opt, key).compile().as_text()
+    assert "all-reduce" in hlo  # the one expected collective
+    for bad in ("all-gather", "all-to-all", "collective-permute"):
+        assert bad not in hlo, f"unexpected cross-shard collective: {bad}"
+
+
+def test_distributed_fit_end_to_end_matches_single_device():
+    """The scanned fit() path (donated carries, cached loop) on a distributed
+    model: 600 epochs after distribute() on the (4,2) mesh must track the
+    single-device fit() loss trajectory, and distribute() must invalidate any
+    previously cached train loop (VERDICT r2 item 8)."""
+    data = make_two_view_data(n_per_view=16, n_outputs=4)
+    kw = dict(m_X_per_view=8, m_G=8, n_latent_gps={"expression": 2},
+              fixed_view_idx=0, seed=0)
+    m_single = sat.VariationalGPSA(data, **kw)
+    m_shard = sat.VariationalGPSA(data, pad_multiple=4, **kw)
+    assert m_shard.spec.modality("expression").n_padded == 16
+
+    # prime the loop cache BEFORE distribute() to exercise invalidation
+    m_shard.fit(n_epochs=5, lr=1e-2, S=2)
+    cached = m_shard._train_loop_cache["loop"]
+
+    distribute(m_shard, make_mesh(8, model_parallel=2))
+    losses_d = m_shard.fit(n_epochs=600, lr=1e-2, S=2)
+    assert m_shard._train_loop_cache["loop"] is not cached  # invalidated
+    losses_s = m_single.fit(n_epochs=600, lr=1e-2, S=2)
+
+    assert np.isfinite(losses_d).all()
+    # same objective, same init, different RNG streams -> compare converged
+    # tail levels, not per-step values
+    tail_d = float(np.mean(losses_d[-100:]))
+    tail_s = float(np.mean(losses_s[-100:]))
+    np.testing.assert_allclose(tail_d, tail_s, rtol=0.05)
+    # params end up finite and usable through the normal surface
+    X = data["expression"]["spatial_coords"]
+    G, _, _, _ = m_shard.forward({"expression": X}, S=1)
+    assert np.isfinite(np.asarray(G["expression"])).all()
+
+
+def test_distributed_fit_minibatch_runs_and_improves():
+    """fit(minibatch_size=B) on a distributed model — the user-facing path —
+    trains through the scanned loop + stratified sampler and improves the
+    full-batch ELBO."""
+    data = make_two_view_data(n_per_view=24, n_outputs=3)
+    model = _model(data, pad_multiple=4)
+    distribute(model, make_mesh(4))
+    e0 = float(core.negative_elbo(
+        model.spec, model.params, model.consts, model._batch,
+        jax.random.PRNGKey(1), 3,
+    ))
+    losses = model.fit(n_epochs=200, lr=1e-2, S=2, minibatch_size=16)
+    assert np.isfinite(losses).all()
+    e1 = float(core.negative_elbo(
+        model.spec, model.params, model.consts, model._batch,
+        jax.random.PRNGKey(1), 3,
+    ))
+    assert e1 < e0 - 1.0
