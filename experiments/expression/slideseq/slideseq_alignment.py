@@ -81,6 +81,13 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     fig.savefig(os.path.join(out_dir, "deformation_field.png"), dpi=110, bbox_inches="tight")
     np.savetxt(os.path.join(out_dir, "aligned_coords_slideseq.csv"), aligned, delimiter=",")
+    # Inputs for the standalone replot tool (the reference's saved-CSV
+    # workflow, plot_slideseq_deformation_field.py:24-26)
+    np.savetxt(os.path.join(out_dir, "X_slideseq.csv"), X, delimiter=",")
+    view_of = np.concatenate(
+        [np.full(n, v, np.int64) for v, n in enumerate(n_samples_list)]
+    )
+    np.savetxt(os.path.join(out_dir, "view_idx_slideseq.csv"), view_of, fmt="%d")
     print(json.dumps({"final_loss": float(losses[-1]),
                       "n_beads": [int(n) for n in n_samples_list]}, indent=2))
     print(f"wrote {out_dir}/deformation_field.png")

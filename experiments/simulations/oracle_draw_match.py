@@ -44,9 +44,16 @@ def main():
     ap.add_argument("--epochs", type=int, default=10000)
     ap.add_argument("--restarts", type=int, default=1,
                     help="restarts per draw (fit_multistart)")
-    ap.add_argument("--select", choices=["loss", "predictive"], default="loss",
-                    help="restart selection: tail-loss or held-out "
-                    "cross-view predictive likelihood (alignment-correlated)")
+    ap.add_argument("--select",
+                    choices=["loss", "predictive", "consistency", "auto"],
+                    default="loss",
+                    help="restart selection criterion (see "
+                    "fit_multistart; 'consistency' is the "
+                    "alignment-correlated winner of "
+                    "experiments/out/restart_selection_ab.json)")
+    ap.add_argument("--ensemble-top-k", type=int, default=1,
+                    help="average aligned coords over the top-k restarts "
+                    "(consistency selection only)")
     args = ap.parse_args()
 
     scanned = []
@@ -66,6 +73,7 @@ def main():
             X, Y, n_samples_list, args.epochs, {"expression": 5},
             fixed_view_idx=None, seed=seed, recipe="accurate",
             n_restarts=args.restarts, select=args.select,
+            ensemble_top_k=args.ensemble_top_k,
         )
         err = view_error(aligned, view_idx)
         print(f"seed {seed}: observed {obs:.4f} -> denovo {err:.6f}")
@@ -77,6 +85,7 @@ def main():
         "n_epochs": args.epochs,
         "n_restarts": args.restarts,
         "select": args.select,
+        "ensemble_top_k": args.ensemble_top_k,
         "matched_draws": results,
     }
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from spatial_alignment_tpu import VariationalGPSA
 from spatial_alignment_tpu.data import generate_twod_data
+from spatial_alignment_tpu.utils.ot import entropic_ot_align_views
 
 N_VIEWS = 2
 M_G = 40
@@ -93,8 +94,19 @@ def main():
     post = float(
         np.mean(np.sum((aligned[view_idx[0]] - aligned[view_idx[1]]) ** 2, axis=1))
     )
+    # OT baseline (PASTE-style; the reference's comparison column,
+    # simulation_large_numspots.py:71-91)
+    t0 = time.time()
+    X_ot = entropic_ot_align_views(X, Y, view_idx)
+    ot_seconds = time.time() - t0
+    ot_err = float(
+        np.mean(np.sum((X_ot[view_idx[0]] - X_ot[view_idx[1]]) ** 2, axis=1))
+    )
+
     out = {
         "n_spots_total": int(X.shape[0]),
+        "ot_baseline_error": ot_err,
+        "ot_baseline_seconds": ot_seconds,
         "steps_per_sec": args.epochs / dt,
         "observed_error": pre,
         "aligned_error": post,

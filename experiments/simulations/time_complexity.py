@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from spatial_alignment_tpu import VariationalGPSA
 from spatial_alignment_tpu.data import generate_twod_data
+from spatial_alignment_tpu.utils.ot import entropic_ot_align_views
 
 M = 25
 S = 5
@@ -34,7 +35,7 @@ def make_data(n_per_view, seed):
         2, 10, grid_size=grid_size, n_latent_gps=None,
         kernel_lengthscale=5.0, kernel_variance=0.1, rng=rng,
     )
-    return X.astype(np.float32), Y.astype(np.float32), n_samples_list
+    return X.astype(np.float32), Y.astype(np.float32), n_samples_list, view_idx
 
 
 def time_ours(X, Y, n_samples_list, n_epochs):
@@ -93,9 +94,14 @@ def main():
 
     rows = []
     for n in args.sizes:
-        X, Y, nsl, = make_data(n, seed=0)
+        X, Y, nsl, view_idx = make_data(n, seed=0)
         dt_ours = time_ours(X, Y, nsl, args.epochs)
         row = {"n_per_view": nsl[0], "ours_steps_per_sec": args.epochs / dt_ours}
+        # OT baseline wall-clock (the reference's PASTE timing column,
+        # two_dimensional_time_complexity.py:173-202)
+        t0 = time.perf_counter()
+        entropic_ot_align_views(X, Y, view_idx)
+        row["ot_baseline_seconds"] = time.perf_counter() - t0
         if not args.skip_reference:
             n_ref = max(10, args.epochs // 10)  # reference is slow; subsample
             dt_ref = time_reference(X, Y, nsl, n_ref)

@@ -1,9 +1,10 @@
 """Canonical two-view 2-D alignment run with result panels.
 
-Port of /root/reference/experiments/simulations/two_dimensional.py:44-183
-(whose PASTE optimal-transport baseline isn't available in this image; the
-GPSA-vs-PASTE accuracy comparison lives in the paper. Alignment quality is
-reported directly as the aligned-view error).
+Port of /root/reference/experiments/simulations/two_dimensional.py:44-183,
+including the optimal-transport baseline column: the reference reports GPSA
+against PASTE (two_dimensional.py:65-82); the PASTE package is absent from
+this image, so the same recipe (expression-driven OT coupling + weighted
+Procrustes stacking) is reproduced by utils/ot.py (entropic Sinkhorn).
 
 Run: python experiments/simulations/two_dimensional.py [--epochs 3000]
 """
@@ -22,6 +23,7 @@ from _common import fit_and_align, view_error, write_result
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from spatial_alignment_tpu.data import generate_twod_data  # noqa: E402
+from spatial_alignment_tpu.utils.ot import entropic_ot_align_views  # noqa: E402
 
 
 def main():
@@ -37,6 +39,14 @@ def main():
         fixed_view_idx=0, rng=rng,
     )
     pre = view_error(X, vi[0], vi[1])
+
+    # OT baseline (PASTE-style): expression-OT coupling + rigid Procrustes
+    import time as _time
+    t0 = _time.time()
+    X_ot = entropic_ot_align_views(X, Y, vi)
+    ot_seconds = _time.time() - t0
+    ot_err = view_error(X_ot, vi[0], vi[1])
+
     aligned, loss = fit_and_align(
         X, Y, nsl, m=50, n_latent_gps=5, n_epochs=args.epochs, seed=args.seed
     )
@@ -56,7 +66,10 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     fig.savefig(os.path.join(out_dir, "two_dimensional.png"), dpi=110, bbox_inches="tight")
 
-    write_result("two_dimensional.json", {"pre": pre, "post": post, "loss": loss})
+    write_result("two_dimensional.json", {
+        "pre": pre, "post": post, "loss": loss,
+        "ot_baseline_error": ot_err, "ot_baseline_seconds": ot_seconds,
+    })
 
 
 if __name__ == "__main__":

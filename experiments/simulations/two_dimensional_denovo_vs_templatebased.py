@@ -39,6 +39,7 @@ N_EPOCHS = 10000
 def two_d_gpsa(
     X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None, seed=0,
     recipe="plain", variational="square", n_restarts=1, select="loss",
+    ensemble_top_k=1,
 ):
     """recipe='accurate' trains with the deterministic-warp (temperature-0)
     objective under cosine lr decay — the converged-accuracy recipe from
@@ -68,11 +69,15 @@ def two_d_gpsa(
     if n_restarts > 1:
         losses = model.fit_multistart(
             n_epochs=n_epochs, n_restarts=n_restarts, seed0=seed * 100,
-            lr=1e-2, S=5, select=select, **fit_kw,
+            lr=1e-2, S=5, select=select, ensemble_top_k=ensemble_top_k,
+            **fit_kw,
         )
     else:
         losses = model.fit(n_epochs=n_epochs, lr=1e-2, S=5, print_every=500, **fit_kw)
     print(f"  trained {n_epochs} epochs in {time.time() - t0:.1f}s")
+    ens = getattr(model, "ensemble_G_means_", None)
+    if ens is not None:
+        return ens["expression"]
     G_means, _, _, _ = model.forward({"expression": X.astype(np.float32)}, view_idx, Ns)
     return G_means["expression"]
 

@@ -842,6 +842,43 @@ class VariationalGPSA:
             n += lp.size
         return total / max(n, 1)
 
+    def _alignment_consistency(self, G_means: dict, k: int = 5) -> float:
+        """Cross-view expression disagreement in aligned coordinates.
+
+        For every ordered view pair (a, b) within each modality, predict
+        view a's expression at each of its aligned coordinates by inverse-
+        distance-weighted k-NN interpolation of view b's expression (k-d
+        tree over view b's aligned coords), and average the squared error.
+        A misaligned restart places disagreeing spots next to each other, so
+        this tracks the true aligned-view error WITHOUT ground truth —
+        measured in experiments/out/restart_selection_ab.json it selects
+        the best-possible restart on every difficulty-matched draw (median
+        5.6e-4 == best-possible), where tail-loss picks 6.9e-4 and exact
+        S=64 ELBO picks 2.8e-3.
+        """
+        from scipy.spatial import cKDTree
+
+        src = self._init_args["data_dict"]
+        errs = []
+        for mod in self.spec.modalities:
+            Ga = np.asarray(G_means[mod.name], np.float64)
+            Y = _as_numpy(src[mod.name]["outputs"]).astype(np.float64)
+            idx = [np.arange(lo, hi) for lo, hi in view_slices(mod.n_samples)]
+            for a in range(len(idx)):
+                for b in range(len(idx)):
+                    if a == b or idx[a].size == 0 or idx[b].size < 2:
+                        continue
+                    kk = min(k, idx[b].size)
+                    tree = cKDTree(Ga[idx[b]])
+                    d, j = tree.query(Ga[idx[a]], k=kk)
+                    d = d.reshape(idx[a].size, kk)
+                    j = j.reshape(idx[a].size, kk)
+                    w = 1.0 / np.maximum(d, 1e-9)
+                    w /= w.sum(axis=1, keepdims=True)
+                    yhat = (Y[idx[b]][j] * w[..., None]).sum(axis=1)
+                    errs.append(float(np.mean((Y[idx[a]] - yhat) ** 2)))
+        return float(np.mean(errs)) if errs else np.inf
+
     def fit_multistart(
         self,
         n_epochs: int,
@@ -849,8 +886,9 @@ class VariationalGPSA:
         seed0: int = 0,
         tail: int = 200,
         verbose: bool = True,
-        select: str = "loss",
+        select: str = "auto",
         holdout_frac: float = 0.1,
+        ensemble_top_k: int = 1,
         **fit_kwargs,
     ) -> np.ndarray:
         """Train from ``n_restarts`` independent initializations and keep the
@@ -864,19 +902,39 @@ class VariationalGPSA:
         The reference offers no equivalent; practitioners restart by hand.
 
         ``select`` chooses the winner:
-          * ``"loss"`` (default) — lowest mean training loss over the final
-            ``tail`` epochs. Cheap, but the ELBO decouples from view-overlap
+          * ``"auto"`` (default) — ``"consistency"`` when the original
+            data_dict is available, else ``"loss"`` (checkpoint-loaded
+            models don't carry the training outputs).
+          * ``"consistency"`` — alignment-correlated selection measured to
+            match best-possible restart choice (experiments/out/
+            restart_selection_ab.json): every restart trains on the FULL
+            data, then is scored by cross-view k-NN expression disagreement
+            in its aligned coordinates (``_alignment_consistency``); lowest
+            disagreement wins. Scored run == kept run, so the score→outcome
+            link is exact.
+          * ``"loss"`` — lowest mean training loss over the final ``tail``
+            epochs. Cheapest, but the ELBO decouples from view-overlap
             error near convergence (experiments/out/parity_trajectory.json),
-            so the best-ELBO restart is not always the best-aligned one.
-          * ``"predictive"`` — alignment-correlated selection: each restart
-            trains on a split with ``holdout_frac`` of every non-template
-            view's spots dropped, is scored by held-out predictive
-            log-likelihood through the deterministic ``predict()``, and the
-            winning seed is then retrained on the full data. A restart whose
-            views are internally consistent but mutually misaligned predicts
-            held-out spots poorly (the data GP's cross-view neighbors
-            disagree), which is exactly the failure the training loss can't
-            see.
+            so the best-ELBO restart is not always the best-aligned one
+            (median 6.9e-4 vs consistency's 5.6e-4 on the A/B draws).
+          * ``"predictive"`` — each restart trains on a split with
+            ``holdout_frac`` of every non-template view's spots dropped, is
+            scored by held-out predictive log-likelihood through the
+            deterministic ``predict()``, and the winning seed is retrained
+            on the full data. Measured WORSE than both alternatives (median
+            2.4e-3 on the A/B draws): the full-data retrain lands in a
+            different basin than the scored 90%-split run, breaking the
+            score→outcome link. Kept for the record; prefer "consistency".
+
+        ``ensemble_top_k`` (consistency selection only): when > 1, also
+        average the aligned coordinates (G_means) of the ``k`` best-scoring
+        restarts and stash the result on ``self.ensemble_G_means_``.
+        Restart errors are partly independent displacements, so the average
+        beats every individual restart (top-2 median 4.4e-4 vs single-pick
+        5.6e-4 in restart_selection_ab.json — below the reference's
+        recorded 5.4e-4 oracle). The model itself keeps the single winning
+        restart's parameters; the ensemble is a post-processing of the
+        alignment output.
 
         Accepts every ``fit`` option. Returns the winning run's loss trace
         and leaves the model holding the winning parameters.
@@ -895,6 +953,60 @@ class VariationalGPSA:
         )
         fit_kwargs["optimizer"] = opt
         fit_kwargs["warp_temperature_schedule"] = temps
+
+        if select == "auto":
+            select = "consistency" if self._init_args is not None else "loss"
+        self.ensemble_G_means_ = None
+
+        if select == "consistency":
+            if self._init_args is None:
+                raise RuntimeError(
+                    "select='consistency' needs the original data_dict "
+                    "(unavailable on checkpoint-loaded models); use "
+                    "select='loss'"
+                )
+            src = self._init_args["data_dict"]
+            X_by_mod = {
+                mod.name: _as_numpy(src[mod.name]["spatial_coords"]).astype(
+                    np.float32
+                )
+                for mod in self.spec.modalities
+            }
+            vi, Ns, _, _ = self.create_view_idx_dict(src)
+            runs = []
+            for r in range(n_restarts):
+                self.reinitialize(seed0 + r)
+                losses = self.fit(n_epochs=n_epochs, **fit_kwargs)
+                G_means, _, _, _ = self.forward(X_by_mod, vi, Ns)
+                G_np = {k: np.asarray(v) for k, v in G_means.items()}
+                score = self._alignment_consistency(G_np)
+                if verbose:
+                    print(
+                        f"restart {r}: consistency {score:.6f} "
+                        f"(tail loss {np.mean(losses[-min(tail, len(losses)):]):.2f})",
+                        flush=True,
+                    )
+                if np.isfinite(score):
+                    runs.append((score, r, self.params, losses, G_np))
+            if not runs:
+                raise RuntimeError(
+                    "fit_multistart: no restart produced a finite "
+                    "consistency score"
+                )
+            runs.sort(key=lambda t: t[0])
+            _, best_r, best_params, best_losses, _ = runs[0]
+            if verbose:
+                print(f"winner: restart {best_r}", flush=True)
+            self.params = best_params
+            if ensemble_top_k > 1:
+                top = runs[: min(ensemble_top_k, len(runs))]
+                self.ensemble_G_means_ = {
+                    mod.name: np.mean(
+                        [g[mod.name] for *_, g in top], axis=0
+                    )
+                    for mod in self.spec.modalities
+                }
+            return best_losses
 
         if select == "predictive":
             if self._init_args is None:

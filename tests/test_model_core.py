@@ -388,7 +388,8 @@ def test_fit_multistart_selects_best_tail_loss(two_view_data):
     leaves the model holding that restart's parameters."""
     m = _tiny_model(two_view_data, seed=0)
     losses = m.fit_multistart(
-        n_epochs=120, n_restarts=3, tail=30, verbose=False, lr=1e-2, S=2
+        n_epochs=120, n_restarts=3, tail=30, verbose=False, lr=1e-2, S=2,
+        select="loss",
     )
     assert losses.shape == (120,)
     assert np.isfinite(losses).all()
@@ -435,6 +436,34 @@ def test_fit_multistart_predictive_select(two_view_data):
     assert m._epoch == 40
     with np.testing.assert_raises(ValueError):
         m.fit_multistart(n_epochs=5, n_restarts=2, select="bogus")
+
+
+def test_fit_multistart_consistency_select(two_view_data):
+    """select='consistency' (the 'auto' default when data is available)
+    trains every restart on the full data, scores each by cross-view k-NN
+    expression disagreement in aligned coordinates, keeps the best, and with
+    ensemble_top_k > 1 stashes the averaged aligned coords."""
+    m = _tiny_model(two_view_data, seed=0)
+    losses = m.fit_multistart(
+        n_epochs=40, n_restarts=2, S=2, verbose=False, ensemble_top_k=2
+    )
+    assert losses.shape == (40,) and np.isfinite(losses).all()
+    ens = m.ensemble_G_means_
+    assert ens is not None and "expression" in ens
+    n_total = sum(m.spec.modalities[0].n_samples)
+    assert ens["expression"].shape == (n_total, 2)
+    # the consistency score itself is finite and positive on the kept model
+    data = m._init_args["data_dict"]
+    vi, Ns, _, _ = m.create_view_idx_dict(data)
+    G_means, _, _, _ = m.forward(
+        {"expression": np.asarray(data["expression"]["spatial_coords"], np.float32)},
+        vi, Ns,
+    )
+    score = m._alignment_consistency({k: np.asarray(v) for k, v in G_means.items()})
+    assert np.isfinite(score) and score > 0
+    # without ensembling the attribute resets to None
+    m.fit_multistart(n_epochs=10, n_restarts=2, S=2, verbose=False)
+    assert m.ensemble_G_means_ is None
 
 
 def test_holdout_split_respects_template(two_view_data):

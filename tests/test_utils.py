@@ -271,3 +271,63 @@ def test_morans_i_test_significance(rng):
     assert res["pval_norm"][0] < 1e-4       # smooth field: significant
     assert res["pval_norm"][1] > 0.01       # white noise: not
     assert res["pval_norm_fdr_bh"][0] <= res["pval_norm"][0] * 2
+
+
+# ---------------------------------------------------------------------------
+# Entropic-OT coarse-alignment baseline (utils/ot.py — the PASTE-style
+# comparison column, /root/reference/experiments/simulations/two_dimensional.py:65-82)
+# ---------------------------------------------------------------------------
+from spatial_alignment_tpu.utils.ot import (  # noqa: E402
+    entropic_ot_align_views,
+    ot_procrustes_align,
+    sinkhorn,
+)
+
+
+def test_sinkhorn_marginals(rng):
+    C = rng.uniform(0, 1, (30, 40))
+    P = sinkhorn(C, reg=0.1)
+    np.testing.assert_allclose(P.sum(1), 1 / 30, atol=1e-6)
+    np.testing.assert_allclose(P.sum(0), 1 / 40, atol=1e-6)
+    assert (P >= 0).all()
+
+
+def test_sinkhorn_low_reg_approaches_assignment(rng):
+    # With a permutation-structured cost and small reg the coupling should
+    # concentrate on the true matching.
+    perm = rng.permutation(20)
+    C = np.ones((20, 20))
+    C[np.arange(20), perm] = 0.0
+    P = sinkhorn(C, reg=0.02, n_iters=2000)
+    assert (P.argmax(1) == perm).all()
+
+
+def test_ot_procrustes_recovers_rigid_transform(rng):
+    X1 = rng.uniform(0, 10, (50, 2))
+    th = 0.4
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    X2 = (X1 - 3.0) @ R.T
+    X2a, Rhat, t = ot_procrustes_align(X1, X2, np.eye(50) / 50)
+    np.testing.assert_allclose(X2a, X1, atol=1e-8)
+    np.testing.assert_allclose(Rhat @ Rhat.T, np.eye(2), atol=1e-10)
+
+
+def test_entropic_ot_aligns_rotated_view(rng):
+    n = 100
+    X0 = rng.uniform(0, 10, (n, 2))
+    Y0 = np.stack(
+        [np.sin(X0[:, 0] * f) + np.cos(X0[:, 1] * f) for f in (0.5, 0.9, 1.3, 0.3, 0.7)],
+        axis=1,
+    )
+    th = 0.4
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    X2 = (X0 - 5.0) @ R.T + 5.0 + 0.01 * rng.standard_normal((n, 2))
+    X = np.concatenate([X0, X2])
+    Y = np.concatenate([Y0, Y0])
+    vi = [np.arange(n), np.arange(n, 2 * n)]
+    pre = np.mean(np.sum((X[vi[0]] - X[vi[1]]) ** 2, 1))
+    Xa = entropic_ot_align_views(X, Y, vi)
+    post = np.mean(np.sum((Xa[vi[0]] - Xa[vi[1]]) ** 2, 1))
+    assert post < pre / 20, (pre, post)
+    # view 0 is the anchor: untouched
+    np.testing.assert_allclose(Xa[vi[0]], X[vi[0]])
