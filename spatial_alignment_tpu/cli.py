@@ -102,6 +102,7 @@ def _build_model(args, data_dict):
         fixed_view_idx=args.template,
         seed=args.seed,
         triangular_variational=args.triangular,
+        whitened_variational=args.whitened,
         analytic_data_likelihood=args.analytic,
         data_chunk_size=args.data_chunk_size,
     )
@@ -294,6 +295,9 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--triangular", action="store_true",
                     help="triangular variational factor (faster steps)")
+    ap.add_argument("--whitened", action="store_true",
+                    help="whitened variational parameterization (fastest "
+                    "steps; posterior expressed relative to the prior)")
     ap.add_argument("--analytic", action="store_true",
                     help="closed-form data-layer expected log-likelihood")
     ap.add_argument("--data-chunk-size", type=int, default=None)

@@ -33,6 +33,8 @@ from ..ops.linalg import (
     factor_psd_cholesky,
     jittered_cholesky,
     kl_mvn_chol,
+    kl_whitened,
+    tri_solve,
 )
 from ..ops.pallas_gram import gram
 from .spec import ModelSpec
@@ -84,8 +86,9 @@ def svgp_mean_var(
     Omega_tril: jnp.ndarray,  # (B, m, m) — per output-channel covariance factors
     diagonal_offset: float,
     matmul_precision: str = "highest",
+    whitened: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Whitened SVGP marginal posterior at the Kuf columns.
+    """SVGP marginal posterior at the Kuf columns.
 
     Returns mu_tilde (..., N, C) and Sigma_tilde (..., B, N) where B indexes
     the Omega batch (spatial dims for the warp layer, latent GPs for the data
@@ -96,16 +99,31 @@ def svgp_mean_var(
     the caller's highest precision. "high" (bf16 3-pass MXU) is measurably
     faster at large N with ~1e-6 relative error on these well-conditioned
     products; "highest" (f32) is the default.
+
+    ``whitened`` switches the meaning of (delta, Omega_tril) to the whitened
+    variational state w = L^-1 (u - mu_z): mu = mu_x + B^T delta and the
+    covariance projection uses B^T Omega_tril for B = L^-1 Kuf — ONE
+    triangular solve instead of cholesky_solve's two, and ``mu_z`` is unused
+    (the prior mean cancels). diag(Kfu Kuu^-1 Kuf) = sum(B^T ** 2) comes for
+    free from the same B.
     """
-    alpha = cholesky_solve(Kuu_chol, Kuf)  # (..., m, N)
-    alphaT = jnp.swapaxes(alpha, -1, -2)  # (..., N, m)
-    with jax.default_matmul_precision(matmul_precision):
-        # diag(Kfu Kuu^-1 Kuf) via the factored form
-        a_t_K = alphaT @ Kuu_chol
-        aKa = jnp.sum(jnp.square(a_t_K), axis=-1)  # (..., N)
-        mu_tilde = mu_x + alphaT @ (delta - mu_z)  # (..., N, C)
-        # per-channel: alpha^T Omega_tril, batched over B
-        a_t_Om = jnp.expand_dims(alphaT, -3) @ Omega_tril  # (..., B, N, m)
+    if whitened:
+        B_w = tri_solve(Kuu_chol, Kuf)  # (..., m, N) — the only solve
+        alphaT = jnp.swapaxes(B_w, -1, -2)  # (..., N, m)
+        aKa = jnp.sum(jnp.square(alphaT), axis=-1)  # (..., N)
+        with jax.default_matmul_precision(matmul_precision):
+            mu_tilde = mu_x + alphaT @ delta  # (..., N, C)
+            a_t_Om = jnp.expand_dims(alphaT, -3) @ Omega_tril  # (..., B, N, m)
+    else:
+        alpha = cholesky_solve(Kuu_chol, Kuf)  # (..., m, N)
+        alphaT = jnp.swapaxes(alpha, -1, -2)  # (..., N, m)
+        with jax.default_matmul_precision(matmul_precision):
+            # diag(Kfu Kuu^-1 Kuf) via the factored form
+            a_t_K = alphaT @ Kuu_chol
+            aKa = jnp.sum(jnp.square(a_t_K), axis=-1)  # (..., N)
+            mu_tilde = mu_x + alphaT @ (delta - mu_z)  # (..., N, C)
+            # per-channel: alpha^T Omega_tril, batched over B
+            a_t_Om = jnp.expand_dims(alphaT, -3) @ Omega_tril  # (..., B, N, m)
     aOa = jnp.sum(jnp.square(a_t_Om), axis=-1)  # (..., B, N)
     sigma = (
         jnp.expand_dims(kff_diag, -2)
@@ -120,10 +138,11 @@ def omega_tril(spec: ModelSpec, Om_sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
     """Cholesky factor of the variational covariance from its stored factor.
 
     Square mode (reference parity, vgpsa.py:206-210): factorize
-    Omega_sqt @ Omega_sqt^T + eps*I. Triangular mode: the stored factor IS
-    the (lower-triangular) Cholesky factor — zero per-step factorizations.
+    Omega_sqt @ Omega_sqt^T + eps*I. Triangular / whitened modes: the stored
+    factor IS the (lower-triangular) Cholesky factor — zero per-step
+    factorizations (in whitened mode it factors the whitened covariance).
     """
-    if spec.triangular_variational:
+    if spec.triangular_variational or spec.whitened_variational:
         return jnp.tril(Om_sqt)
     return factor_psd_cholesky(Om_sqt, eps)
 
@@ -183,6 +202,7 @@ def warp_layer(
         mu_t, sig = svgp_mean_var(
             kff, Kuf, L, mu_x, mu_z, delta, Om_tril, eps,
             matmul_precision=spec.svgp_matmul_precision,
+            whitened=spec.whitened_variational,
         )
         return mu_t, sig, L, Om_tril, mu_z
 
@@ -283,6 +303,7 @@ def data_layer(
             mu_t, sig = svgp_mean_var(
                 kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps,
                 matmul_precision=spec.svgp_matmul_precision,
+                whitened=spec.whitened_variational,
             )
             return mu_t + jnp.sqrt(
                 jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)
@@ -347,6 +368,7 @@ def data_layer_moments(
             mu_t, sig = svgp_mean_var(
                 kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps,
                 matmul_precision=spec.svgp_matmul_precision,
+                whitened=spec.whitened_variational,
             )
             return mu_t, jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)
 
@@ -412,6 +434,7 @@ def impute_at(
             data_aux.Omega_tril[mod.name],
             eps,
             matmul_precision=spec.svgp_matmul_precision,
+            whitened=spec.whitened_variational,
         )
         # mu_t: (n_test, L); sig: (L, n_test)
         noise = jax.random.normal(kk, (S,) + mu_t.shape, mu_t.dtype)
@@ -475,25 +498,39 @@ def gaussian_loglik_sum(
 def kl_divergence(
     spec: ModelSpec, hp: dict, warp_aux: WarpAux, data_aux: DataAux
 ) -> jnp.ndarray:
-    """Total KL over warp and data variational posteriors (vgpsa.py:498-530)."""
-    # Warp posteriors, masked over fixed views (vgpsa.py:498-516)
+    """Total KL over warp and data variational posteriors (vgpsa.py:498-530).
+
+    Whitened mode: KL(q(w) || N(0, I)) per channel — the prior Cholesky and
+    its log-det cancel, so no per-step Kuu-dependent term survives in the KL
+    (``kl_whitened``). The two parameterizations express the same KL value
+    for corresponding q distributions.
+    """
     mu_q = jnp.swapaxes(hp["delta_G"], -1, -2)  # (V, D, m)
-    mu_p = jnp.swapaxes(warp_aux.mu_z, -1, -2)  # (V, D, m)
-    kl_G = kl_mvn_chol(
-        mu_q, warp_aux.Omega_tril, mu_p, warp_aux.Kuu_chol[:, None]
-    )  # (V, D)
+    if spec.whitened_variational:
+        kl_G = kl_whitened(mu_q, warp_aux.Omega_tril)  # (V, D)
+    else:
+        # Warp posteriors, masked over fixed views (vgpsa.py:498-516)
+        mu_p = jnp.swapaxes(warp_aux.mu_z, -1, -2)  # (V, D, m)
+        kl_G = kl_mvn_chol(
+            mu_q, warp_aux.Omega_tril, mu_p, warp_aux.Kuu_chol[:, None]
+        )  # (V, D)
     not_fixed = 1.0 - jnp.asarray(spec.fixed_view_mask, kl_G.dtype)
     KL = jnp.sum(kl_G * not_fixed[:, None])
 
     # Data posteriors, batched over latent GPs (vgpsa.py:520-530)
     for mod in spec.modalities:
         delta = hp["delta_F"][mod.name]  # (m_G, L)
-        kl_F = kl_mvn_chol(
-            jnp.swapaxes(delta, -1, -2),
-            data_aux.Omega_tril[mod.name],
-            jnp.zeros(spec.m_G, delta.dtype),
-            data_aux.Kuu_chol,
-        )
+        if spec.whitened_variational:
+            kl_F = kl_whitened(
+                jnp.swapaxes(delta, -1, -2), data_aux.Omega_tril[mod.name]
+            )
+        else:
+            kl_F = kl_mvn_chol(
+                jnp.swapaxes(delta, -1, -2),
+                data_aux.Omega_tril[mod.name],
+                jnp.zeros(spec.m_G, delta.dtype),
+                data_aux.Kuu_chol,
+            )
         KL = KL + jnp.sum(kl_F)
     return KL
 

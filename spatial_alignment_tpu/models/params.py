@@ -190,7 +190,12 @@ def init_params(
         """Initial Omega factor. Square mode stores the raw 0.1*randn factor
         (vgpsa.py:131-153). Triangular mode stores chol(a a^T + jitter*I) —
         the exact Cholesky of the square-mode initial covariance, so both
-        parameterizations start from the identical q distribution."""
+        parameterizations start from the identical q distribution. Whitened
+        mode stores the identity: q(w) = N(., I), i.e. posterior covariance
+        = prior covariance — the standard whitened-SVGP init."""
+        if spec.whitened_variational:
+            eye = np.eye(a.shape[-1], dtype=np.float32)
+            return np.broadcast_to(eye, a.shape).copy()
         if not spec.triangular_variational:
             return a
         m = a @ np.swapaxes(a, -1, -2)
@@ -203,7 +208,12 @@ def init_params(
 
     params["Xtilde"] = Xtilde
     params["Gtilde"] = Gtilde
-    params["delta_G"] = Xtilde.copy()
+    # Whitened mode: delta_G is the whitened mean w = L^-1 (u - mu_z); zero
+    # means posterior warp mean == prior mean (identity map) — the exact
+    # analog of the reference's delta = Xtilde init under identity means.
+    params["delta_G"] = (
+        np.zeros_like(Xtilde) if spec.whitened_variational else Xtilde.copy()
+    )
     params["Omega_sqt_G"] = variational_factor(0.1 * randn(V, D, m_X, m_X))
 
     params["Omega_sqt_F"] = {}

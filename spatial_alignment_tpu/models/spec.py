@@ -87,6 +87,19 @@ class ModelSpec:
     # per-step factorization. The KL's -log|det| barrier keeps the diagonal
     # away from zero, so no jitter is needed on the factor.
     triangular_variational: bool = False
+    # Whitened variational parameterization (GPflow's `whiten=True`): the
+    # stored variational state is w = L^-1 (u - mu_z) with q(w) =
+    # N(delta, tril(Omega_sqt) tril(Omega_sqt)^T), i.e. q(u) =
+    # N(mu_z + L delta, L A A^T L^T) for L = chol(Kuu). Three effects:
+    # (1) the KL needs no Kuu solve or prior log-det (kl_whitened);
+    # (2) the predictive needs ONE triangular solve (L^-1 Kuf) instead of
+    #     cholesky_solve's two;
+    # (3) q is expressed relative to the CURRENT prior, so when the learned
+    #     inducing points / kernel hyperparameters move, the posterior moves
+    #     with them instead of chasing them — the standard fix for
+    #     SVGP optimization pathologies. Implies the factor is read as a
+    #     lower-triangular Cholesky (like triangular_variational).
+    whitened_variational: bool = False
 
     # ---- derived helpers -------------------------------------------------
     @property
@@ -171,6 +184,7 @@ def build_spec(
     analytic_data_likelihood: bool = False,
     svgp_matmul_precision: str = "highest",
     triangular_variational: bool = False,
+    whitened_variational: bool = False,
 ) -> ModelSpec:
     """Derive a ModelSpec from a reference-format data_dict.
 
@@ -249,6 +263,7 @@ def build_spec(
         analytic_data_likelihood=analytic_data_likelihood,
         svgp_matmul_precision=svgp_matmul_precision,
         triangular_variational=triangular_variational,
+        whitened_variational=whitened_variational,
     )
 
 

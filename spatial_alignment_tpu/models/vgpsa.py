@@ -167,6 +167,7 @@ class VariationalGPSA:
         analytic_data_likelihood: bool = False,
         svgp_matmul_precision: str = "highest",
         triangular_variational: bool = False,
+        whitened_variational: bool = False,
     ):
         del n_spatial_dims, minmax_init  # shape-driven / dead (SURVEY.md §2.4.5-6)
         spec = build_spec(
@@ -190,6 +191,7 @@ class VariationalGPSA:
             analytic_data_likelihood=analytic_data_likelihood,
             svgp_matmul_precision=svgp_matmul_precision,
             triangular_variational=triangular_variational,
+            whitened_variational=whitened_variational,
         )
         self.params, self.consts, self.spec = init_params(
             spec,
@@ -231,6 +233,7 @@ class VariationalGPSA:
             analytic_data_likelihood=analytic_data_likelihood,
             svgp_matmul_precision=svgp_matmul_precision,
             triangular_variational=triangular_variational,
+            whitened_variational=whitened_variational,
         )
 
         # Reference-parity bookkeeping attributes (used by plotting callbacks)

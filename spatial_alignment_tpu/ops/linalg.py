@@ -20,6 +20,7 @@ __all__ = [
     "cholesky_solve",
     "tri_solve",
     "kl_mvn_chol",
+    "kl_whitened",
     "chol_logdet",
 ]
 
@@ -138,6 +139,21 @@ def chol_logdet(chol: jnp.ndarray) -> jnp.ndarray:
     """
     diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
     return 2.0 * jnp.sum(jnp.log(jnp.abs(diag)), axis=-1)
+
+
+def kl_whitened(mu_q: jnp.ndarray, chol_q: jnp.ndarray) -> jnp.ndarray:
+    """KL( N(mu_q, A A^T) || N(0, I) ) from the factor A, batched.
+
+    The whitened-parameterization KL: with q(u) = N(mu_z + L w, L A A^T L^T)
+    and p(u) = N(mu_z, L L^T), KL(q||p) = KL(N(w, A A^T) || N(0, I)) — no
+    solve against the prior Cholesky and no prior log-det (both cancel),
+    which removes every per-step Kuu-dependent term from the KL:
+      0.5 * [ ||A||_F^2 + ||mu||^2 - k - 2 sum log |diag A| ]
+    """
+    k = mu_q.shape[-1]
+    trace_term = jnp.sum(jnp.square(chol_q), axis=(-2, -1))
+    quad = jnp.sum(jnp.square(mu_q), axis=-1)
+    return 0.5 * (trace_term + quad - k - chol_logdet(chol_q))
 
 
 def kl_mvn_chol(

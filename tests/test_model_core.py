@@ -383,6 +383,87 @@ def test_triangular_variational_trains(two_view_data):
     assert np.all(np.abs(d) > 0)
 
 
+def test_whitened_variational_elbo_equivalence(two_view_data):
+    """Square-mode params converted to the whitened parameterization (w =
+    L^-1 (delta - mu_z), A = L^-1 chol(Omega)) must give the SAME negative
+    ELBO under the same key: identical q distribution => identical samples
+    => identical likelihood, and kl_whitened(w, A) == kl_mvn_chol in
+    u-space (the prior terms cancel)."""
+    import scipy.linalg as sla
+    from spatial_alignment_tpu.ops.linalg import (
+        jittered_cholesky, factor_psd_cholesky,
+    )
+    from spatial_alignment_tpu.ops.kernels import get_kernel
+
+    kw = dict(m_X_per_view=8, m_G=8, n_latent_gps={"expression": None}, seed=0)
+    m = sat.VariationalGPSA(two_view_data, **kw)
+    spec, params, consts, batch = m.spec, m.params, m.consts, m._batch
+    hp = merge_hyperparams(params, consts)
+    eps = spec.diagonal_offset
+    kern_w = get_kernel(spec.kernel_warp)
+    kern_d = get_kernel(spec.kernel_data)
+
+    pw = jax.tree.map(lambda x: x, params)
+    Xt = np.asarray(hp["Xtilde"])
+    Lw = np.stack([
+        np.asarray(jittered_cholesky(
+            kern_w(jnp.asarray(Xt[v]), jnp.asarray(Xt[v]),
+                   hp["warp_kernel_lengthscales"][v],
+                   hp["warp_kernel_variances"][v]), eps))
+        for v in range(spec.n_views)
+    ])
+    mu_z = np.einsum("vmd,vde->vme", Xt, np.asarray(hp["mean_slopes"])) + \
+        np.asarray(hp["mean_intercepts"])[:, None]
+    delta = np.asarray(hp["delta_G"])
+    pw["delta_G"] = jnp.asarray(np.stack([
+        sla.solve_triangular(Lw[v], delta[v] - mu_z[v], lower=True)
+        for v in range(spec.n_views)
+    ]).astype(np.float32))
+    C = np.asarray(factor_psd_cholesky(hp["Omega_sqt_G"], eps))
+    A = np.stack([[sla.solve_triangular(Lw[v], C[v, d], lower=True)
+                   for d in range(spec.n_spatial_dims)]
+                  for v in range(spec.n_views)])
+    np.testing.assert_allclose(A, np.tril(A))  # L^-1 C stays triangular
+    pw["Omega_sqt_G"] = jnp.asarray(A.astype(np.float32))
+
+    Gt = jnp.asarray(hp["Gtilde"])
+    L_F = np.asarray(jittered_cholesky(
+        kern_d(Gt, Gt, hp["data_kernel_lengthscale"],
+               hp["data_kernel_variance"]), eps))
+    for mod in spec.modalities:
+        dF = np.asarray(hp["delta_F"][mod.name])
+        pw["delta_F"][mod.name] = jnp.asarray(
+            sla.solve_triangular(L_F, dF, lower=True).astype(np.float32))
+        CF = np.asarray(factor_psd_cholesky(hp["Omega_sqt_F"][mod.name], eps))
+        pw["Omega_sqt_F"][mod.name] = jnp.asarray(np.stack([
+            sla.solve_triangular(L_F, CF[l], lower=True)
+            for l in range(CF.shape[0])
+        ]).astype(np.float32))
+
+    spec_w = spec.replace(whitened_variational=True)
+    key = jax.random.PRNGKey(7)
+    e_sq = float(core.negative_elbo(spec, params, consts, batch, key, 4))
+    e_wh = float(core.negative_elbo(spec_w, pw, consts, batch, key, 4))
+    np.testing.assert_allclose(e_sq, e_wh, rtol=1e-4)
+
+
+def test_whitened_variational_trains_and_aligns(two_view_data):
+    """A whitened model (posterior-=-prior init) trains: loss decreases and
+    stays finite; deterministic predict returns finite aligned coords."""
+    m = _tiny_model(two_view_data, seed=0, whitened_variational=True)
+    # init invariants: zero whitened mean, identity factors
+    assert np.allclose(np.asarray(m.params["delta_G"]), 0.0)
+    Om = np.asarray(m.params["Omega_sqt_G"])
+    np.testing.assert_allclose(Om, np.broadcast_to(np.eye(Om.shape[-1]), Om.shape))
+    losses = m.fit(n_epochs=300, lr=1e-2, S=3)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    X = {"expression": np.asarray(two_view_data["expression"]["spatial_coords"])}
+    G, F, Fv = m.predict(X)
+    for a in (G["expression"], F["expression"], Fv["expression"]):
+        assert np.isfinite(np.asarray(a)).all()
+
+
 def test_fit_multistart_selects_best_tail_loss(two_view_data):
     """fit_multistart keeps the restart with the lowest tail-mean loss and
     leaves the model holding that restart's parameters."""

@@ -88,6 +88,24 @@ def test_sharded_training_step_runs_and_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
 
 
+def test_sharded_step_matches_single_device_whitened():
+    """The whitened parameterization composes with pjit sharding: one train
+    step on the 8-device mesh matches the single-device step (the whitened
+    predictive/KL paths introduce no new cross-shard structure)."""
+    data = make_two_view_data(n_per_view=16, n_outputs=3)
+    m_shard = _model(data, pad_multiple=8, whitened_variational=True)
+    m_single = _model(data, whitened_variational=True)
+    distribute(m_shard, make_mesh(8))
+    step_s, opt_s = m_single.make_train_step(lr=1e-2, S=2)
+    step_d, opt_d = m_shard.make_train_step(lr=1e-2, S=2)
+    key = jax.random.PRNGKey(9)
+    p1, _, l1 = step_s(m_single.params, opt_s, key)
+    p2, _, l2 = step_d(m_shard.params, opt_d, key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
+
+
 def test_pad_multiple_mismatch_raises():
     data = make_two_view_data(n_per_view=30)
     m = _model(data)  # n_padded = 30, not divisible by 4
