@@ -42,7 +42,7 @@ def load_data():
     return X, Y, n_samples_list
 
 
-def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0):
+def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0, **model_kw):
     import jax
 
     try:
@@ -68,13 +68,7 @@ def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0):
         n_latent_gps={"expression": None},
         mean_function="identity_fixed",
         fixed_view_idx=0,
-        # GPflow-style tril covariance factor: no per-step variational-
-        # covariance factorizations (~1.5x steps/s) and, on this exact
-        # config, *better* converged aligned error than the square
-        # reference-parity parameterization (0.0071 vs 0.0081 median over
-        # 3 seeds; tail ELBO better on 2 of 3 seeds, within 0.01% on the
-        # third — experiments/out/bench_variational_ab.json).
-        triangular_variational=True,
+        **model_kw,
     )
     # Scanned on-device training loop: the whole chunk of ELBO steps is one
     # dispatch (lax.scan) with donated buffers and a device-resident RNG chain.
@@ -194,7 +188,19 @@ V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 
 def main():
     X, Y, n_samples_list = load_data()
+    # Headline = the library-default square (reference-parity)
+    # parameterization, so the steps/s ratio against the torch reference is
+    # parameterization-matched (no algorithmic substitution in the number).
+    # The triangular fast path (opt-in triangular_variational=True; zero
+    # per-step variational factorizations; better aligned error on this
+    # exact config, experiments/out/bench_variational_ab.json, but 35%
+    # worse in the denovo/accurate cell of
+    # experiments/out/variational_grid_ab.json — hence opt-in) is reported
+    # alongside under its own labeled keys.
     ours, final_loss, platform, flops_per_step = bench_ours(X, Y, n_samples_list)
+    ours_tri, _, _, _ = bench_ours(
+        X, Y, n_samples_list, triangular_variational=True
+    )
     try:
         baseline = bench_reference(X, Y, n_samples_list)
     except Exception as e:
@@ -205,6 +211,8 @@ def main():
         "value": round(ours, 2),
         "unit": "steps/s",
         "vs_baseline": round(ours / baseline, 2),
+        "triangular_fast_path_steps_per_sec": round(ours_tri, 2),
+        "triangular_fast_path_vs_baseline": round(ours_tri / baseline, 2),
     }
     if flops_per_step:
         achieved = flops_per_step * ours

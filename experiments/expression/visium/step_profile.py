@@ -53,8 +53,14 @@ def make_data(seed=0):
 def timed_loop(model, chunk=50, min_time=4.0, lr=1e-2):
     import jax
 
+    import jax.numpy as jnp
+
     loop, opt_state = model.make_train_loop(lr=lr, S=S)
-    carry = (model.params, opt_state, jax.random.PRNGKey(0))
+    # the scanned loop donates its carry: feed it a copy so model.params
+    # stays alive for the later forward-only / cost-analysis measurements
+    carry = (
+        jax.tree.map(jnp.copy, model.params), opt_state, jax.random.PRNGKey(0)
+    )
     t0 = time.perf_counter()
     carry, losses = loop(carry, chunk)
     losses.block_until_ready()
@@ -146,6 +152,12 @@ def main():
         ("square", {}),
         ("triangular", {"triangular_variational": True}),
         ("whitened", {"whitened_variational": True}),
+        # bf16 3-pass MXU for the O(m^2 N) projection matmuls (measured safe:
+        # tests/test_model_core.py precision A/B) — the remaining
+        # accuracy-neutral speed candidate at m=200
+        ("square_prec_high", {"svgp_matmul_precision": "high"}),
+        ("triangular_prec_high", {"triangular_variational": True,
+                                  "svgp_matmul_precision": "high"}),
     ):
         model = VariationalGPSA(
             dd, m_X_per_view=M, m_G=M, n_latent_gps={"expression": L},

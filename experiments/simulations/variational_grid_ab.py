@@ -83,11 +83,16 @@ def run_cell(X, Y, nsl, view_idx, parameterization, template, recipe, epochs, se
 
 
 def main():
+    global PARAMS
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, nargs="+", default=[35, 30])
     ap.add_argument("--epochs-plain", type=int, default=5000)
     ap.add_argument("--epochs-accurate", type=int, default=10000)
+    ap.add_argument("--params", nargs="+", default=list(PARAMS),
+                    choices=list(PARAMS))
+    ap.add_argument("--out-name", default="variational_grid_ab.json")
     args = ap.parse_args()
+    PARAMS = tuple(args.params)
 
     rows = []
     for seed in args.seeds:
@@ -136,7 +141,7 @@ def main():
     }
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "variational_grid_ab.json"), "w") as f:
+    with open(os.path.join(out_dir, args.out_name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"median_aligned_error": summary,
                       "median_steps_per_sec": sps}, indent=2))

@@ -76,8 +76,10 @@ class ModelSpec:
     # reference parity (the reference samples F, vgpsa.py:423-426).
     analytic_data_likelihood: bool = False
     # Matmul precision for the SVGP projection products (O(m^2 N)): "highest"
-    # = f32 (default); "high" = bf16 3-pass, faster at large N. Gram
-    # construction and Cholesky always stay at highest precision.
+    # = f32; "high" = bf16 3-pass, faster at large N. Gram construction and
+    # Cholesky always stay at highest precision. build_spec's "auto" default
+    # resolves to "high" at >= 2000 total points, "highest" below (the spec
+    # always stores the resolved value).
     svgp_matmul_precision: str = "highest"
     # Variational covariance parameterization. False (default, reference
     # parity): Omega = Omega_sqt @ Omega_sqt^T + eps*I with a free square
@@ -182,7 +184,7 @@ def build_spec(
     pad_multiple: int = 1,
     data_chunk_size=None,
     analytic_data_likelihood: bool = False,
-    svgp_matmul_precision: str = "highest",
+    svgp_matmul_precision: str = "auto",
     triangular_variational: bool = False,
     whitened_variational: bool = False,
 ) -> ModelSpec:
@@ -231,6 +233,15 @@ def build_spec(
                 n_samples=counts,
             )
         )
+
+    if svgp_matmul_precision == "auto":
+        # bf16 3-pass MXU projections ("high") are 1.2x at the m=200 /
+        # N=4k real-data scale with convergence-level accuracy parity
+        # (experiments/out/{step_profile,precision_convergence_ab}.json);
+        # at small N the O(m^2 N) products are latency-bound and "highest"
+        # (f32) costs nothing, so keep exact f32 there.
+        total_points = sum(sum(m.n_samples) for m in modalities)
+        svgp_matmul_precision = "high" if total_points >= 2000 else "highest"
 
     if fixed_view_idx is None:
         fixed = tuple(False for _ in range(n_views))

@@ -165,7 +165,7 @@ class VariationalGPSA:
         pad_multiple: int = 1,
         data_chunk_size: Optional[int] = None,
         analytic_data_likelihood: bool = False,
-        svgp_matmul_precision: str = "highest",
+        svgp_matmul_precision: str = "auto",
         triangular_variational: bool = False,
         whitened_variational: bool = False,
     ):

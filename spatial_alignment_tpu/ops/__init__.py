@@ -12,5 +12,6 @@ from .linalg import (
     cholesky_solve,
     tri_solve,
     kl_mvn_chol,
+    kl_whitened,
     chol_logdet,
 )

@@ -345,6 +345,35 @@ def test_svgp_matmul_precision_knob(two_view_data):
     np.testing.assert_allclose(e_hi, e_fast, rtol=1e-6)
 
 
+def test_svgp_matmul_precision_auto_resolution(two_view_data):
+    """The "auto" default resolves by data size: exact f32 ("highest") below
+    2000 total points, bf16 3-pass ("high") at or above (convergence-parity
+    gate: experiments/out/precision_convergence_ab.json)."""
+    import spatial_alignment_tpu as sat
+    from spatial_alignment_tpu.models.spec import build_spec
+
+    m_small = sat.VariationalGPSA(
+        two_view_data, m_X_per_view=6, m_G=6,
+        n_latent_gps={"expression": None}, seed=0,
+    )
+    assert m_small.spec.svgp_matmul_precision == "highest"
+
+    big = {
+        "expression": {
+            "spatial_coords": np.zeros((2400, 2), np.float32),
+            "outputs": np.zeros((2400, 3), np.float32),
+            "n_samples_list": [1200, 1200],
+        }
+    }
+    spec_big = build_spec(big, m_X_per_view=6, m_G=6)
+    assert spec_big.svgp_matmul_precision == "high"
+    # explicit user choice always wins
+    spec_explicit = build_spec(
+        big, m_X_per_view=6, m_G=6, svgp_matmul_precision="highest"
+    )
+    assert spec_explicit.svgp_matmul_precision == "highest"
+
+
 def test_triangular_variational_same_initial_elbo(two_view_data):
     """Triangular mode initializes Omega_sqt as the exact Cholesky of the
     square mode's initial covariance, so the initial ELBO (same key, same
