@@ -45,41 +45,49 @@ def safe_cholesky(mat: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
 
 
 def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """Lower Cholesky of mat + jitter * I with NaN-probed jitter escalation.
+    """Lower Cholesky of mat + jitter * I with spectral-norm-scaled jitter.
 
     The reference adds an absolute 1e-5 jitter (gpsa.py:153) and relies on
     LAPACK's f32 spotrf, which tolerates the near-singular Gram matrices this
     model produces (lengthscale ~ domain size => condition ~1e7). TPU's
     blocked f32 Cholesky NaNs right at that cliff, killing training.
 
-    Strategy (branchless, XLA-friendly, clean gradients):
-      1. probe-factorize under stop_gradient at jitter eps and 100*eps,
-      2. per matrix in the batch, select the smallest jitter whose probe was
-         NaN-free (eps -> 100*eps -> 10000*eps),
-      3. run the single differentiable Cholesky at the selected jitter.
+    The jitter here is ``eps * max(1, |K|_inf)`` — the max-absolute-row-sum
+    norm upper-bounds the spectral norm, which is exactly the scale of the
+    f32 factorization's eigenvalue perturbation (~ m * ulp * |K|_2). A
+    near-rank-1 Gram (lengthscale >> point spread, |K|_2 ~ m * diag) gets
+    proportionally more jitter than a well-spread one (|K|_2 ~ diag), each
+    with the same ~1e2 relative safety margin, and the max(1, .) guard keeps
+    the reference's absolute eps for small-variance kernels.
 
-    Healthy matrices get exactly the reference's eps (scaled by max(1, mean
-    diag) so a learned kernel variance > 1 keeps the jitter proportionate);
-    only matrices that would have NaN'd get more. Probe cost is 2 extra m^3
-    factorizations of m <= ~200 matrices — noise next to the Gram work.
+    CRITICALLY, this jitter is a *continuous* function of the matrix. An
+    earlier version probe-selected from a discrete eps/100eps/10000eps ladder;
+    measured failure (experiments/out/cliff_introspect.json): when a
+    training trajectory moved a Gram's lambda_min across the f32 cliff, the
+    selected jitter snapped 100x between steps, the inducing weights
+    (K + jI)^-1 Kuf jumped ~100x along near-null eigendirections, and the
+    loss exploded -73k -> +1.7e7 in one step (then NaN'd training). A
+    continuous jitter cannot produce that cliff.
+
+    One NaN probe (under stop_gradient) is kept as a catastrophe fallback:
+    a matrix indefinite beyond -eps * |K|_inf is outside anything f32
+    rounding can produce from a PSD kernel, so the 100x escalation branch is
+    unreachable in healthy training and the discontinuity it carries is
+    acceptable there.
     """
     diag_mean = jnp.maximum(
         1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
     )
+    row_norm = jnp.max(jnp.sum(jnp.abs(mat), axis=-1), axis=-1)
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
-    base = (eps * diag_mean)[..., None, None]
+    base = (eps * jnp.maximum(diag_mean, row_norm))[..., None, None]
 
     frozen = jax.lax.stop_gradient(mat)
-
-    def probe_ok(jit_scale):
-        L = jnp.linalg.cholesky(frozen + jit_scale * base * eye)
-        return jnp.logical_not(
-            jnp.any(jnp.isnan(L), axis=(-2, -1), keepdims=True)
-        )
-
-    ok1 = probe_ok(1.0)
-    ok2 = probe_ok(100.0)
-    jitter = jnp.where(ok1, base, jnp.where(ok2, 100.0 * base, 10000.0 * base))
+    L_probe = jnp.linalg.cholesky(frozen + jax.lax.stop_gradient(base) * eye)
+    ok = jnp.logical_not(
+        jnp.any(jnp.isnan(L_probe), axis=(-2, -1), keepdims=True)
+    )
+    jitter = jnp.where(ok, base, 100.0 * base)
     return jnp.linalg.cholesky(mat + jitter * eye)
 
 
@@ -88,19 +96,22 @@ def factor_psd_cholesky(sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
 
     Used for the variational covariances Omega = Omega_sqt Omega_sqt^T + eps I
     (reference: vgpsa.py:206-210). Unlike the learned-inducing-point Gram
-    matrices, this product is PSD *by construction*, so the NaN-probed jitter
-    escalation in :func:`jittered_cholesky` (2 extra probe factorizations per
-    call) is pure overhead here and is skipped. f32 rounding can perturb
-    eigenvalues by ~m * ulp * mean(diag) ≈ 5e-6 * mean(diag) at m = 200 —
-    strictly inside the eps * max(1, mean(diag)) jitter added below, so the
-    single factorization cannot NaN for finite inputs.
+    matrices, this product is PSD *by construction*, so the NaN probe in
+    :func:`jittered_cholesky` (an extra factorization per call) is pure
+    overhead here and is skipped. The jitter uses the same continuous
+    ``eps * max(1, |K|_inf)`` spectral scaling: f32 rounding perturbs
+    eigenvalues by ~m * ulp * |K|_2 <= ~2.4e-5 * |K|_inf at m = 200 —
+    strictly inside the jitter added below even for a near-rank-1 product,
+    so the single factorization cannot NaN for finite inputs.
     """
     mat = sqt @ jnp.swapaxes(sqt, -1, -2)
     diag_mean = jnp.maximum(
         1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
     )
+    row_norm = jnp.max(jnp.sum(jnp.abs(mat), axis=-1), axis=-1)
+    scale = jnp.maximum(diag_mean, row_norm)
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
-    return jnp.linalg.cholesky(mat + (eps * diag_mean)[..., None, None] * eye)
+    return jnp.linalg.cholesky(mat + (eps * scale)[..., None, None] * eye)
 
 
 def _broadcast_mats(a: jnp.ndarray, b: jnp.ndarray):

@@ -134,8 +134,12 @@ def test_factor_psd_cholesky_rank_deficient_factor(rng):
     sqt = jnp.concatenate([low, jnp.zeros((9, 7), jnp.float32)], axis=1)
     L = np.asarray(factor_psd_cholesky(sqt, 1e-5))
     assert np.isfinite(L).all()
+    # Reconstructs the product plus the continuous spectral-scaled jitter:
+    # eps * max(1, mean diag, max |row sum|) on the diagonal.
+    mat = np.asarray(sqt @ sqt.T, np.float64)
+    jitter = 1e-5 * max(1.0, np.abs(mat).sum(axis=1).max())
     np.testing.assert_allclose(
-        L @ L.T, np.asarray(sqt @ sqt.T) + 1e-5 * np.eye(9), rtol=1e-4, atol=1e-5
+        L @ L.T, mat + jitter * np.eye(9), rtol=1e-4, atol=1e-5
     )
 
 
@@ -143,3 +147,50 @@ def test_add_jitter():
     A = jnp.zeros((3, 4, 4))
     J = np.asarray(add_jitter(A, 0.5))
     np.testing.assert_allclose(J, np.tile(0.5 * np.eye(4)[None], (3, 1, 1)))
+
+
+def test_jittered_cholesky_continuous_across_f32_cliff(rng):
+    """The effective jitter must vary continuously as a Gram's lambda_min
+    crosses the f32 Cholesky failure threshold.
+
+    Regression for the epoch-4119 training cliff
+    (experiments/out/cliff_introspect.json): the earlier probe-ladder
+    implementation snapped jitter 100x between adjacent optimization steps
+    when a borderline matrix drifted across the cliff, which made
+    (K + jI)^-1 Kuf jump ~100x along near-null eigendirections and exploded
+    the loss. Here a matrix family sweeps lambda_min through [-1e-5, 1e-5]
+    (exactly the f32-rounding borderline band) and the implied jitter must
+    stay within a small constant factor across the whole sweep.
+    """
+    from spatial_alignment_tpu.ops.linalg import jittered_cholesky
+
+    m = 50
+    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    lam = rng.uniform(0.5, 2.0, size=m)
+    jitters = []
+    for t in np.linspace(-1e-5, 1e-5, 21):
+        lam[0] = t
+        K = (q * lam) @ q.T
+        K = jnp.asarray((K + K.T) / 2, jnp.float32)
+        L = np.asarray(jittered_cholesky(K, 1e-5), np.float64)
+        assert np.isfinite(L).all()
+        implied = np.mean(np.diag(L @ L.T - np.asarray(K, np.float64)))
+        jitters.append(implied)
+    jitters = np.asarray(jitters)
+    assert jitters.min() > 0
+    assert jitters.max() / jitters.min() < 3.0, jitters
+
+
+def test_jittered_cholesky_escalates_for_genuinely_indefinite(rng):
+    """Matrices indefinite beyond anything f32 rounding can produce still
+    factor finitely through the catastrophe-fallback escalation branch."""
+    from spatial_alignment_tpu.ops.linalg import jittered_cholesky
+
+    m = 20
+    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    lam = rng.uniform(0.5, 2.0, size=m)
+    lam[0] = -5e-4  # far below -eps * |K|_inf, unreachable by rounding
+    K = (q * lam) @ q.T
+    K = jnp.asarray((K + K.T) / 2, jnp.float32)
+    L = np.asarray(jittered_cholesky(K, 1e-5))
+    assert np.isfinite(L).all()
