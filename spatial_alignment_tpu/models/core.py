@@ -206,16 +206,52 @@ def warp_layer(
         )
         return mu_t, sig, L, Om_tril, mu_z
 
-    mu_tilde, sigma, Kuu_chol, Om_tril, mu_z = jax.vmap(one_view)(
-        hp["Xtilde"],
-        X_all,
-        hp["warp_kernel_lengthscales"],
-        hp["warp_kernel_variances"],
-        hp["mean_slopes"],
-        hp["mean_intercepts"],
-        hp["Omega_sqt_G"],
-        hp["delta_G"],
-    )
+    active = [v for v in range(spec.n_views) if not spec.fixed_view_mask[v]]
+    if len(active) == spec.n_views:
+        mu_tilde, sigma, Kuu_chol, Om_tril, mu_z = jax.vmap(one_view)(
+            hp["Xtilde"],
+            X_all,
+            hp["warp_kernel_lengthscales"],
+            hp["warp_kernel_variances"],
+            hp["mean_slopes"],
+            hp["mean_intercepts"],
+            hp["Omega_sqt_G"],
+            hp["delta_G"],
+        )
+    else:
+        # Fixed (template) views: every one_view output is discarded — the
+        # mean/samples are overwritten with X_all below and the KL rows are
+        # masked in kl_divergence — so skip their m^3 Cholesky/solve pipeline
+        # entirely and scatter finite fillers (identity factors keep the
+        # masked KL finite; 0 * NaN would poison the loss). Static indices:
+        # one compiled gather/scatter, no dynamic shapes.
+        idx = jnp.asarray(active)
+        take = lambda a: jnp.take(a, idx, axis=0)
+        V, Ntot, D = X_all.shape
+        m = hp["Xtilde"].shape[1]
+        dt = X_all.dtype
+        eye_m = jnp.eye(m, dtype=dt)
+        mu_tilde = jnp.zeros((V, Ntot, D), dt)
+        sigma = jnp.ones((V, D, Ntot), dt)
+        Kuu_chol = jnp.broadcast_to(eye_m, (V, m, m))
+        Om_tril = jnp.broadcast_to(eye_m, hp["Omega_sqt_G"].shape)
+        mu_z = jnp.zeros((V, m, D), dt)
+        if active:
+            mu_a, sig_a, L_a, Om_a, muz_a = jax.vmap(one_view)(
+                take(hp["Xtilde"]),
+                take(X_all),
+                take(hp["warp_kernel_lengthscales"]),
+                take(hp["warp_kernel_variances"]),
+                take(hp["mean_slopes"]),
+                take(hp["mean_intercepts"]),
+                take(hp["Omega_sqt_G"]),
+                take(hp["delta_G"]),
+            )
+            mu_tilde = mu_tilde.at[idx].set(mu_a)
+            sigma = sigma.at[idx].set(sig_a)
+            Kuu_chol = Kuu_chol.at[idx].set(L_a)
+            Om_tril = Om_tril.at[idx].set(Om_a)
+            mu_z = mu_z.at[idx].set(muz_a)
     # mu_tilde: (V, Ntot, D); sigma: (V, D, Ntot) -> (V, Ntot, D)
     sigma = jnp.swapaxes(sigma, -1, -2)
 
