@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import jax.scipy.linalg as jsl
 
 __all__ = [
@@ -44,51 +45,104 @@ def safe_cholesky(mat: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
     return jnp.linalg.cholesky(mat)
 
 
+# f32 unit roundoff; storing an exactly-PSD kernel Gram in f32 perturbs its
+# eigenvalues by ~ sqrt(m) * ulp * |K|_2 (measured: -1.2e-6 at m=25 /
+# |K|~25, -2.6e-5 at m=200 / |K|~170 — both ~0.15 sqrt(m) ulp |K|).
+_ULP_F32 = 1.2e-7
+_NOISE_SAFETY = 0.5  # ~3-5x above the measured 0.15 sqrt(m) ulp |K| floor
+# The floor is gated on the STATIC factor size m, not on the dynamic norm:
+# for a saturated (lengthscale >> spread) Gram the floor/eps ratio is
+# variance-independent at ~ _NOISE_SAFETY * 0.012 * m^1.5, so at m = 50 any
+# coefficient that still protects m >= 100 (>= 2x margin over the measured
+# -1.6e-5 indefiniteness) lands the floor within a factor ~2 of eps — and an
+# 8-restart bisection (experiments/out/jitter_bisect_*.json) showed even a
+# 1.3-1.9x always-on boost over eps regresses EVERY restart's converged
+# de-novo alignment ~4x (best 3.7e-4 -> 1.6e-3; stop_gradient and the probe
+# rungs exonerated). The two measured regimes are disjoint in m: m <= 50
+# Grams factor at eps (lambda_min >= ~-9e-6 saturated) and demand exactly
+# eps for accuracy; m >= 100 Grams cannot factor at eps (storage rounding
+# alone) and tolerate the floor (template m=200 runs converge to ~1e-5
+# aligned error under it). Gate at 64, between the regimes; static in
+# shapes, so nothing discontinuous is traced.
+_FLOOR_MIN_M = 64
+
+
 def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """Lower Cholesky of mat + jitter * I with spectral-norm-scaled jitter.
+    """Lower Cholesky of mat + jitter * I, jittered at the f32 noise floor.
 
     The reference adds an absolute 1e-5 jitter (gpsa.py:153) and relies on
     LAPACK's f32 spotrf, which tolerates the near-singular Gram matrices this
     model produces (lengthscale ~ domain size => condition ~1e7). TPU's
     blocked f32 Cholesky NaNs right at that cliff, killing training.
 
-    The jitter here is ``eps * max(1, |K|_inf)`` — the max-absolute-row-sum
-    norm upper-bounds the spectral norm, which is exactly the scale of the
-    f32 factorization's eigenvalue perturbation (~ m * ulp * |K|_2). A
-    near-rank-1 Gram (lengthscale >> point spread, |K|_2 ~ m * diag) gets
-    proportionally more jitter than a well-spread one (|K|_2 ~ diag), each
-    with the same ~1e2 relative safety margin, and the max(1, .) guard keeps
-    the reference's absolute eps for small-variance kernels.
+    Three properties are load-bearing, all established by measurement:
 
-    CRITICALLY, this jitter is a *continuous* function of the matrix. An
-    earlier version probe-selected from a discrete eps/100eps/10000eps ladder;
-    measured failure (experiments/out/cliff_introspect.json): when a
-    training trajectory moved a Gram's lambda_min across the f32 cliff, the
-    selected jitter snapped 100x between steps, the inducing weights
-    (K + jI)^-1 Kuf jumped ~100x along near-null eigendirections, and the
-    loss exploded -73k -> +1.7e7 in one step (then NaN'd training). A
-    continuous jitter cannot produce that cliff.
+    1. **Accuracy-critical (small) Grams must get exactly the reference-scale
+       eps.** A round-3 variant that always scaled the jitter by |K|_inf
+       regressed converged de-novo alignment ~4x (9.9e-4 vs 2.3e-4 on the
+       seed-35 oracle draw): a 25x-larger always-on nugget materially
+       softens the warp prior.
+    2. **The jitter must be a continuous function of the parameters.** The
+       round-2 version probe-selected from a discrete eps/100eps/10000eps
+       ladder; when a trajectory moved a Gram's lambda_min across the f32
+       cliff, the jitter snapped 100x between adjacent steps,
+       (K + jI)^-1 Kuf jumped ~100x along near-null eigendirections, and
+       the loss exploded -73k -> +1.7e7 in one step, then NaN'd training
+       (experiments/out/cliff_introspect.json).
+    3. **Large near-rank-1 Grams genuinely cannot factor at eps.** An f32
+       Gram of m points is indefinite by ~ sqrt(m) * ulp * |K|_2 from
+       storage rounding alone (-2.6e-5 measured at m=200), so any jitter
+       below that floor NaNs regardless of cleverness — which is why the
+       old ladder sat permanently on its 100x rung at m=200.
 
-    One NaN probe (under stop_gradient) is kept as a catastrophe fallback:
-    a matrix indefinite beyond -eps * |K|_inf is outside anything f32
-    rounding can produce from a PSD kernel, so the 100x escalation branch is
-    unreachable in healthy training and the discontinuity it carries is
-    acceptable there.
+    Properties 1 and 3 conflict for any single always-on floor formula (see
+    _FLOOR_MIN_M), but the regimes they describe are disjoint in the STATIC
+    factor size m, so the floor applies only at m >= _FLOOR_MIN_M:
+
+    * m < 64 — jitter = eps * max(1, mean diag), exactly the reference-scale
+      nugget (property 1; bisection-verified: any boost >= 1.3x regresses
+      converged de-novo error ~4x, experiments/out/jitter_bisect_*.json).
+      These Grams factor at eps (saturated-m=50 lambda_min >= ~-9e-6), and
+      the cliff (property 2) was never observed below m=200: the probes
+      below stay a rarely-hit fallback whose first step is bounded at 10x.
+    * m >= 64 — jitter = max(eps * max(1, mean diag),
+                             0.5 * sqrt(m) * ulp * max_row_sum(|K|)).
+      The second term is the f32 PSD-rounding noise floor (max |row sum|
+      upper-bounds |K|_2); it is a smooth function of the matrix, so the
+      jitter never jumps between optimization steps (property 2). m=200
+      lengthscale~domain Grams get ~5e-5..2e-4 — a 3-5x margin over their
+      measured indefiniteness (property 3), 20x SHARPER than the old
+      ladder rung, and template m=200 runs converge to ~1e-5 aligned error
+      under it (10k epochs, no cliff).
+
+    Two stop-gradient NaN probes escalate 10x / 100x as a catastrophe
+    fallback in both regimes; in the floor regime the design margin makes
+    them unreachable from f32 rounding of a PSD kernel.
     """
+    m = mat.shape[-1]
     diag_mean = jnp.maximum(
         1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
     )
-    row_norm = jnp.max(jnp.sum(jnp.abs(mat), axis=-1), axis=-1)
-    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
-    base = (eps * jnp.maximum(diag_mean, row_norm))[..., None, None]
-
+    base = eps * diag_mean
+    if m >= _FLOOR_MIN_M:
+        row_norm = jnp.max(jnp.sum(jnp.abs(mat), axis=-1), axis=-1)
+        base = jnp.maximum(base, _NOISE_SAFETY * np.sqrt(m) * _ULP_F32 * row_norm)
+    # Frozen: the jitter is numerical stabilization, not a model quantity;
+    # differentiating through it adds layout-unstable subgradient noise
+    # (measured as a 12% single-element gradient divergence between the
+    # shard_map and single-device layouts when it was left differentiable).
+    base = jax.lax.stop_gradient(base)
+    eye = jnp.eye(m, dtype=mat.dtype)
     frozen = jax.lax.stop_gradient(mat)
-    L_probe = jnp.linalg.cholesky(frozen + jax.lax.stop_gradient(base) * eye)
-    ok = jnp.logical_not(
-        jnp.any(jnp.isnan(L_probe), axis=(-2, -1), keepdims=True)
-    )
-    jitter = jnp.where(ok, base, 100.0 * base)
-    return jnp.linalg.cholesky(mat + jitter * eye)
+
+    def probe_ok(jit):
+        L = jnp.linalg.cholesky(frozen + jit[..., None, None] * eye)
+        return jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-2, -1)))
+
+    ok1 = probe_ok(base)
+    ok2 = probe_ok(10.0 * base)
+    jitter = jnp.where(ok1, base, jnp.where(ok2, 10.0 * base, 100.0 * base))
+    return jnp.linalg.cholesky(mat + jitter[..., None, None] * eye)
 
 
 def factor_psd_cholesky(sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -96,20 +150,20 @@ def factor_psd_cholesky(sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
 
     Used for the variational covariances Omega = Omega_sqt Omega_sqt^T + eps I
     (reference: vgpsa.py:206-210). Unlike the learned-inducing-point Gram
-    matrices, this product is PSD *by construction*, so the NaN probe in
-    :func:`jittered_cholesky` (an extra factorization per call) is pure
-    overhead here and is skipped. The jitter uses the same continuous
-    ``eps * max(1, |K|_inf)`` spectral scaling: f32 rounding perturbs
-    eigenvalues by ~m * ulp * |K|_2 <= ~2.4e-5 * |K|_inf at m = 200 —
-    strictly inside the jitter added below even for a near-rank-1 product,
-    so the single factorization cannot NaN for finite inputs.
+    matrices, this product is PSD *by construction*, so the NaN probes in
+    :func:`jittered_cholesky` (two extra factorizations per call) are pure
+    overhead here and are skipped. f32 rounding can perturb eigenvalues by
+    ~m * ulp * mean(diag) ≈ 5e-6 * mean(diag) at m = 200 — strictly inside
+    the eps * max(1, mean(diag)) jitter added below, so the single
+    factorization cannot NaN for finite inputs. (The variational factors
+    stay moderately conditioned in every measured run; only the learned
+    kernel Grams ever approach the f32 cliff.)
     """
     mat = sqt @ jnp.swapaxes(sqt, -1, -2)
     diag_mean = jnp.maximum(
         1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
     )
-    row_norm = jnp.max(jnp.sum(jnp.abs(mat), axis=-1), axis=-1)
-    scale = jnp.maximum(diag_mean, row_norm)
+    scale = jax.lax.stop_gradient(diag_mean)
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
     return jnp.linalg.cholesky(mat + (eps * scale)[..., None, None] * eye)
 

@@ -1,5 +1,6 @@
 """Unit tests: linalg primitives vs dense numpy references."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -134,10 +135,10 @@ def test_factor_psd_cholesky_rank_deficient_factor(rng):
     sqt = jnp.concatenate([low, jnp.zeros((9, 7), jnp.float32)], axis=1)
     L = np.asarray(factor_psd_cholesky(sqt, 1e-5))
     assert np.isfinite(L).all()
-    # Reconstructs the product plus the continuous spectral-scaled jitter:
-    # eps * max(1, mean diag, max |row sum|) on the diagonal.
+    # Reconstructs the product plus the diag-scaled jitter
+    # eps * max(1, mean diag) on the diagonal.
     mat = np.asarray(sqt @ sqt.T, np.float64)
-    jitter = 1e-5 * max(1.0, np.abs(mat).sum(axis=1).max())
+    jitter = 1e-5 * max(1.0, float(np.diag(mat).mean()))
     np.testing.assert_allclose(
         L @ L.T, mat + jitter * np.eye(9), rtol=1e-4, atol=1e-5
     )
@@ -158,27 +159,51 @@ def test_jittered_cholesky_continuous_across_f32_cliff(rng):
     implementation snapped jitter 100x between adjacent optimization steps
     when a borderline matrix drifted across the cliff, which made
     (K + jI)^-1 Kuf jump ~100x along near-null eigendirections and exploded
-    the loss. Here a matrix family sweeps lambda_min through [-1e-5, 1e-5]
-    (exactly the f32-rounding borderline band) and the implied jitter must
-    stay within a small constant factor across the whole sweep.
+    the loss. The fixed design uses a deterministic noise-floor jitter
+    max(eps * diag_guard, 0.5 sqrt(m) ulp |K|_inf): for a large-norm
+    near-rank-1 Gram (the cliff regime) the floor sits ABOVE the whole
+    f32-rounding band, so sweeping lambda_min through the band must leave
+    the jitter essentially constant — no escalation branch ever fires.
     """
     from spatial_alignment_tpu.ops.linalg import jittered_cholesky
 
-    m = 50
-    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
-    lam = rng.uniform(0.5, 2.0, size=m)
+    m = 150
+    X = rng.uniform(0, 10, (m, 2))
+    d2 = ((X[:, None] - X[None]) ** 2).sum(-1)
+    K0 = np.exp(-d2 / (2 * 20.0**2))  # lengthscale >> spread: near rank-1
     jitters = []
-    for t in np.linspace(-1e-5, 1e-5, 21):
-        lam[0] = t
-        K = (q * lam) @ q.T
-        K = jnp.asarray((K + K.T) / 2, jnp.float32)
+    for t in np.linspace(-2e-5, 2e-5, 41):
+        K = jnp.asarray(K0 + t * np.eye(m), jnp.float32)
         L = np.asarray(jittered_cholesky(K, 1e-5), np.float64)
         assert np.isfinite(L).all()
         implied = np.mean(np.diag(L @ L.T - np.asarray(K, np.float64)))
         jitters.append(implied)
     jitters = np.asarray(jitters)
     assert jitters.min() > 0
-    assert jitters.max() / jitters.min() < 3.0, jitters
+    assert jitters.max() / jitters.min() < 1.5, jitters
+    # And the floor is far below the old ladder's 100x rung (sharper prior).
+    assert jitters.max() < 5e-4
+
+
+@pytest.mark.parametrize("m,lengthscale", [(25, 5.0), (50, 20.0)])
+def test_jittered_cholesky_small_gram_keeps_reference_eps(rng, m, lengthscale):
+    """Accuracy pin (measured property 1 of the jitter design): Grams below
+    the static floor gate (m < 64) must receive exactly the reference-scale
+    eps * max(1, mean diag), even when saturated (lengthscale >> spread) —
+    an 8-restart bisection showed a 1.3-1.9x always-on boost over eps
+    regresses EVERY restart's converged de-novo alignment ~4x
+    (experiments/out/jitter_bisect_*.json: best 3.7e-4 -> 1.6e-3). The
+    m=50 saturated case is the exact regression: any dynamic-norm floor
+    formula that protects m >= 100 crosses eps here."""
+    from spatial_alignment_tpu.ops.linalg import jittered_cholesky
+
+    X = rng.uniform(0, 10, (m, 2))
+    d2 = ((X[:, None] - X[None]) ** 2).sum(-1)
+    K = jnp.asarray(np.exp(-d2 / (2 * lengthscale**2)), jnp.float32)
+    L = np.asarray(jittered_cholesky(K, 1e-5), np.float64)
+    assert np.isfinite(L).all()
+    implied = np.mean(np.diag(L @ L.T - np.asarray(K, np.float64)))
+    np.testing.assert_allclose(implied, 1e-5, rtol=0.2)
 
 
 def test_jittered_cholesky_escalates_for_genuinely_indefinite(rng):

@@ -143,7 +143,13 @@ def test_shardmap_grads_match_single_device():
         lambda p: core.negative_elbo(model.spec, p, model.consts, model._batch, key, 2)
     )(model.params)
     for a, b in zip(jax.tree.leaves(g_shard), jax.tree.leaves(g_single)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
+        a, b = np.asarray(a), np.asarray(b)
+        # The two layouts reduce in different orders, so each leaf carries an
+        # absolute f32 noise floor proportional to its largest element —
+        # small elements inside a large-magnitude leaf cannot be held to a
+        # tighter atol than that.
+        atol = 1e-4 * (1.0 + np.abs(b).max())
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=atol)
 
 
 def test_shardmap_elbo_on_2d_mesh():
