@@ -115,9 +115,15 @@ def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
       ladder rung, and template m=200 runs converge to ~1e-5 aligned error
       under it (10k epochs, no cliff).
 
-    Two stop-gradient NaN probes escalate 10x / 100x as a catastrophe
-    fallback in both regimes; in the floor regime the design margin makes
-    them unreachable from f32 rounding of a PSD kernel.
+    Stop-gradient NaN probes remain as a catastrophe fallback in both
+    regimes. Below the gate ONE probe escalates straight to 100x (the
+    round-2-proven design: probes never fire there in healthy training —
+    the selected jitter is identical whether or not a second rung exists —
+    so the second probe factorization would be pure per-step cost). In the
+    floor regime TWO probes escalate 10x / 100x: the design margin makes
+    them unreachable from f32 rounding of a PSD kernel, and the bounded
+    10x first step limits the damage if one ever fires; the extra
+    factorization is noise next to the m >= 64 Gram work.
     """
     m = mat.shape[-1]
     diag_mean = jnp.maximum(
@@ -140,8 +146,13 @@ def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
         return jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-2, -1)))
 
     ok1 = probe_ok(base)
-    ok2 = probe_ok(10.0 * base)
-    jitter = jnp.where(ok1, base, jnp.where(ok2, 10.0 * base, 100.0 * base))
+    if m >= _FLOOR_MIN_M:
+        ok2 = probe_ok(10.0 * base)
+        jitter = jnp.where(
+            ok1, base, jnp.where(ok2, 10.0 * base, 100.0 * base)
+        )
+    else:
+        jitter = jnp.where(ok1, base, 100.0 * base)
     return jnp.linalg.cholesky(mat + jitter[..., None, None] * eye)
 
 
