@@ -146,6 +146,8 @@ def main():
         suffix += f"_mb{args.minibatch}"
     if args.recipe != "plain":
         suffix += f"_{args.recipe}"
+    if args.n_per_view != 50000:
+        suffix += f"_n{args.n_per_view}"
     with open(os.path.join(out_dir, f"extreme_scale{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
