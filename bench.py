@@ -193,8 +193,8 @@ def main():
     # parameterization-matched (no algorithmic substitution in the number).
     # The triangular fast path (opt-in triangular_variational=True; zero
     # per-step variational factorizations; better aligned error on this
-    # exact config, experiments/out/bench_variational_ab.json, but 35%
-    # worse in the denovo/accurate cell of
+    # exact config, experiments/out/bench_variational_ab.json, but worse
+    # in 3 of 4 cells of the mode/recipe grid,
     # experiments/out/variational_grid_ab.json — hence opt-in) is reported
     # alongside under its own labeled keys.
     ours, final_loss, platform, flops_per_step = bench_ours(X, Y, n_samples_list)

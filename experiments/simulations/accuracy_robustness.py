@@ -29,7 +29,13 @@ def main():
     ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--epochs", type=int, default=10000)
     ap.add_argument("--restarts", type=int, default=1,
-                    help=">1 = ELBO-selected multi-start (fit_multistart)")
+                    help=">1 = multi-start via fit_multistart")
+    ap.add_argument("--select", default="loss",
+                    choices=["loss", "consistency", "predictive", "auto"],
+                    help="restart-selection criterion (fit_multistart)")
+    ap.add_argument("--ensemble-top-k", type=int, default=1,
+                    help="average aligned coords over the top-k restarts "
+                    "(consistency selection only)")
     args = ap.parse_args()
 
     rows = []
@@ -45,7 +51,8 @@ def main():
             aligned = two_d_gpsa(
                 X, Y, nsl, args.epochs, {"expression": 5},
                 fixed_view_idx=fixed, seed=seed, recipe="accurate",
-                n_restarts=args.restarts,
+                n_restarts=args.restarts, select=args.select,
+                ensemble_top_k=args.ensemble_top_k,
             )
             row[f"{mode}_error"] = view_error(aligned, view_idx)
         print(json.dumps(row), flush=True)
@@ -63,6 +70,8 @@ def main():
         "n_epochs": args.epochs,
         "n_seeds": args.seeds,
         "n_restarts": args.restarts,
+        "select": args.select,
+        "ensemble_top_k": args.ensemble_top_k,
         "denovo": stats("denovo_error"),
         "template": stats("template_error"),
         "observed": stats("observed_error"),
@@ -78,6 +87,8 @@ def main():
     name = "accuracy_robustness" + (
         f"_restarts{args.restarts}" if args.restarts > 1 else ""
     )
+    if args.select != "loss":
+        name += f"_{args.select}"
     with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: out[k] for k in ("denovo", "template", "observed")}, indent=2))

@@ -855,9 +855,9 @@ class VariationalGPSA:
         A misaligned restart places disagreeing spots next to each other, so
         this tracks the true aligned-view error WITHOUT ground truth —
         measured in experiments/out/restart_selection_ab.json it selects
-        the best-possible restart on every difficulty-matched draw (median
-        5.6e-4 == best-possible), where tail-loss picks 6.9e-4 and exact
-        S=64 ELBO picks 2.8e-3.
+        the best-possible restart on 4 of 5 difficulty-matched draws and
+        near-best on the fifth (median 7.4e-4 == best-possible), where
+        tail-loss picks 1.7e-3 and exact S=64 ELBO picks 2.2e-3.
         """
         from scipy.spatial import cKDTree
 
@@ -919,7 +919,7 @@ class VariationalGPSA:
             epochs. Cheapest, but the ELBO decouples from view-overlap
             error near convergence (experiments/out/parity_trajectory.json),
             so the best-ELBO restart is not always the best-aligned one
-            (median 6.9e-4 vs consistency's 5.6e-4 on the A/B draws).
+            (median 1.7e-3 vs consistency's 7.4e-4 on the A/B draws).
           * ``"predictive"`` — each restart trains on a split with
             ``holdout_frac`` of every non-template view's spots dropped, is
             scored by held-out predictive log-likelihood through the
@@ -932,10 +932,12 @@ class VariationalGPSA:
         ``ensemble_top_k`` (consistency selection only): when > 1, also
         average the aligned coordinates (G_means) of the ``k`` best-scoring
         restarts and stash the result on ``self.ensemble_G_means_``.
-        Restart errors are partly independent displacements, so the average
-        beats every individual restart (top-2 median 4.4e-4 vs single-pick
-        5.6e-4 in restart_selection_ab.json — below the reference's
-        recorded 5.4e-4 oracle). The model itself keeps the single winning
+        Restart errors are partly independent displacements, so the
+        average matches or beats the single pick (top-2 median 7.2e-4 vs
+        7.4e-4 at 8 restarts in restart_selection_ab.json; at 16 restarts
+        the oracle harness reaches median 4.0e-4 over 5 difficulty-matched
+        draws — below the reference's recorded 5.4e-4 oracle,
+        experiments/out/oracle_draw_match.json). The model itself keeps the single winning
         restart's parameters; the ensemble is a post-processing of the
         alignment output.
 
