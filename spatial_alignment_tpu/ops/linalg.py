@@ -23,7 +23,39 @@ __all__ = [
     "kl_mvn_chol",
     "kl_whitened",
     "chol_logdet",
+    "set_cholesky_impl",
 ]
+
+# Which Cholesky implementation the jittered/PSD factorizations use.
+# "xla" (default): jnp.linalg.cholesky. "pallas": the fused batched kernel
+# (ops.pallas_cholesky) for f32 matrices with m >= PALLAS_CHOLESKY_MIN_M
+# and batch >= PALLAS_CHOLESKY_MIN_BATCH; smaller shapes stay on XLA.
+# Trace-time switch: flip it BEFORE building/jitting a model (compiled
+# functions keep whichever implementation they were traced with).
+_CHOLESKY_IMPL = "xla"
+
+
+def set_cholesky_impl(impl: str) -> None:
+    """Select 'xla' or 'pallas' for the factorization sites (trace-time)."""
+    global _CHOLESKY_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown cholesky impl {impl!r}")
+    _CHOLESKY_IMPL = impl
+
+
+def _chol(mat: jnp.ndarray) -> jnp.ndarray:
+    if _CHOLESKY_IMPL == "pallas" and mat.dtype == jnp.float32:
+        from . import pallas_cholesky as _pc
+
+        batch = 1
+        for s in mat.shape[:-2]:
+            batch *= s
+        if (
+            mat.shape[-1] >= _pc.PALLAS_CHOLESKY_MIN_M
+            and batch >= _pc.PALLAS_CHOLESKY_MIN_BATCH
+        ):
+            return _pc.cholesky(mat)
+    return jnp.linalg.cholesky(mat)
 
 
 def add_jitter(mat: jnp.ndarray, jitter: float) -> jnp.ndarray:
@@ -142,7 +174,7 @@ def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
     frozen = jax.lax.stop_gradient(mat)
 
     def probe_ok(jit):
-        L = jnp.linalg.cholesky(frozen + jit[..., None, None] * eye)
+        L = _chol(frozen + jit[..., None, None] * eye)
         return jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-2, -1)))
 
     ok1 = probe_ok(base)
@@ -153,7 +185,7 @@ def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
         )
     else:
         jitter = jnp.where(ok1, base, 100.0 * base)
-    return jnp.linalg.cholesky(mat + jitter[..., None, None] * eye)
+    return _chol(mat + jitter[..., None, None] * eye)
 
 
 def factor_psd_cholesky(sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -176,7 +208,7 @@ def factor_psd_cholesky(sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
     )
     scale = jax.lax.stop_gradient(diag_mean)
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
-    return jnp.linalg.cholesky(mat + (eps * scale)[..., None, None] * eye)
+    return _chol(mat + (eps * scale)[..., None, None] * eye)
 
 
 def _broadcast_mats(a: jnp.ndarray, b: jnp.ndarray):

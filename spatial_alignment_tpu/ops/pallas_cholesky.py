@@ -1,0 +1,198 @@
+"""Batched small-matrix Cholesky as a single fused Pallas TPU kernel.
+
+Motivation (reference hot sites: /root/reference/gpsa/models/vgpsa.py:255-257,
+320,394,410-412): every training step factorizes O(V*D + L) inducing-scale
+Gram/covariance matrices. XLA lowers each batched `jnp.linalg.cholesky` to a
+generic blocked While-loop program whose per-iteration overhead dominates at
+m <= ~256; at the real-data config (m=200, 14 variational covariances) the
+factorizations plus their VJP are ~23% of the training step
+(experiments/out/step_profile.json attribution note).
+
+Kernel design (see /opt/skills/guides/pallas_guide.md):
+
+* The whole batch slab lives in VMEM and the BATCH axis is vectorized
+  INSIDE the kernel — the serial column recurrence is unavoidable
+  (Cholesky's critical path), so each serial step must do as much parallel
+  work as possible: one step processes that column for EVERY matrix in the
+  slab at once. Gridding the batch instead would run matrices
+  sequentially (TPU grid steps are serial on a core) and leave the VPU
+  ~99% idle.
+* Blocked right-looking update: panels of NB=8 columns are eliminated with
+  rank-1 VPU steps restricted to the (B, NB, mp) panel, then the trailing
+  matrix takes ONE batched MXU update M -= U_panel^T U_panel per block —
+  so the O(m^3) work rides the MXU and the serial VPU work is O(m^2 NB).
+* Lane-friendly orientation: the working matrix stays symmetric, so the
+  pivot "column" is read as a ROW (sublane index, cheap) and the factor is
+  produced TRANSPOSED (U = L^T, upper-triangular, row writes only); the
+  caller transposes once at the end. Column extraction inside the panel is
+  a one-hot lane reduction — no lane->sublane transposes anywhere.
+* Matrices are padded to the 128-lane boundary with an identity block
+  (block-diag(K, I) factors to block-diag(L, I)), so the in-kernel loops
+  run un-masked over the padded size.
+
+NaN semantics match `jnp.linalg.cholesky`: an indefinite pivot produces
+rsqrt(<0) = NaN which propagates through the panel and trailing updates,
+so the NaN probes in `ops.linalg.jittered_cholesky` behave identically on
+this path.
+
+The backward pass is the standard Cholesky pullback (Murray 2016,
+"Differentiation of the Cholesky decomposition") expressed with XLA
+triangular solves — the same algebra XLA's own cholesky VJP uses — so
+gradients agree to f32 tolerance while the forward runs on the fused path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+__all__ = ["cholesky", "PALLAS_CHOLESKY_MIN_M", "PALLAS_CHOLESKY_MIN_BATCH"]
+
+# Dispatch gates, set from the committed micro-benchmark
+# (experiments/out/pallas_cholesky_bench.json): below these the XLA
+# factorization is already a negligible share of any step this library
+# runs, and the kernel's 128-lane padding wastes most of its work.
+PALLAS_CHOLESKY_MIN_M = 128
+PALLAS_CHOLESKY_MIN_BATCH = 2
+
+_NB = 8  # panel width: f32 sublane quantum; keeps the serial VPU work small
+_MAX_SLAB_BYTES = 6 * 1024 * 1024  # per-buffer VMEM budget for one grid step
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(BC: int, mp: int):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    n_blocks = mp // _NB
+
+    def kernel(a_ref, out_ref, m_scr, p_scr):
+        # a_ref/out_ref: (BC, mp, mp); m_scr: (BC, mp, mp); p_scr: (BC, NB, mp)
+        m_scr[:, :, :] = a_ref[:, :, :]
+        lane = lax.broadcasted_iota(jnp.int32, (1, mp), 1)  # (1, mp)
+
+        def block_step(b, _):
+            j0 = b * _NB
+            p_scr[:, :, :] = m_scr[:, pl.ds(j0, _NB), :]
+            for t in range(_NB):  # static unroll: NB serial rank-1 steps
+                j = j0 + t
+                e_j = jnp.where(lane == j, 1.0, 0.0)  # (1, mp) one-hot
+                prow = p_scr[:, t, :]  # (BC, mp) — pivot row == pivot column
+                piv = jnp.sum(prow * e_j, axis=-1, keepdims=True)  # (BC, 1)
+                inv = lax.rsqrt(piv)
+                u = prow * inv  # (BC, mp): row j of U = L^T
+                out_ref[:, pl.ds(j, 1), :] = jnp.where(
+                    lane >= j, u, 0.0
+                )[:, None, :]
+                # Panel update: P[s, :] -= P[s, j] * row_j / piv, batched.
+                colj = jnp.sum(
+                    p_scr[:, :, :] * e_j[None], axis=-1, keepdims=True
+                )  # (BC, NB, 1): lane-j entry of every panel row
+                p_scr[:, :, :] = p_scr[:, :, :] - colj * (u * inv)[:, None, :]
+            # Trailing MXU update: M -= U_panel^T U_panel (batched, k=NB).
+            u_p = out_ref[:, pl.ds(j0, _NB), :]  # (BC, NB, mp), masked rows
+            m_scr[:, :, :] = m_scr[:, :, :] - lax.dot_general(
+                u_p,
+                u_p,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        lax.fori_loop(0, n_blocks, block_step, 0)
+
+    return kernel
+
+
+def _chol_pallas_padded(a_pad: jnp.ndarray) -> jnp.ndarray:
+    """a_pad: (B, mp, mp) f32, mp a multiple of 128. Returns U with
+    U^T U = a_pad (upper-triangular, rows masked)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, mp, _ = a_pad.shape
+    BC = max(1, min(B, _MAX_SLAB_BYTES // (mp * mp * 4)))
+    n_chunks = -(-B // BC)
+    if B % BC:  # pad batch so the grid divides evenly (identity matrices)
+        pad_b = n_chunks * BC - B
+        eye = jnp.broadcast_to(jnp.eye(mp, dtype=jnp.float32), (pad_b, mp, mp))
+        a_pad = jnp.concatenate([a_pad, eye], axis=0)
+
+    out = pl.pallas_call(
+        _make_kernel(BC, mp),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (BC, mp, mp), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (BC, mp, mp), lambda c: (c, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * BC, mp, mp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((BC, mp, mp), jnp.float32),
+            pltpu.VMEM((BC, _NB, mp), jnp.float32),
+        ],
+    )(a_pad)
+    return out[:B]
+
+
+def _chol_forward(a: jnp.ndarray) -> jnp.ndarray:
+    batch_shape = a.shape[:-2]
+    m = a.shape[-1]
+    mp = _round_up(m, 128)
+    B = 1
+    for s in batch_shape:
+        B *= s
+    a2 = a.reshape(B, m, m).astype(jnp.float32)
+    if mp != m:
+        pad = mp - m
+        a2 = jnp.pad(a2, ((0, 0), (0, pad), (0, pad)))
+        tail = jnp.pad(jnp.eye(pad, dtype=jnp.float32), ((m, 0), (m, 0)))
+        a2 = a2 + tail[None]
+    U = _chol_pallas_padded(a2)
+    L = jnp.swapaxes(U, -1, -2)[:, :m, :m]
+    return L.reshape(*batch_shape, m, m)
+
+
+@jax.custom_vjp
+def cholesky(a: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky of a batched PSD matrix via the fused Pallas kernel.
+
+    Semantics match ``jnp.linalg.cholesky`` (including NaN on indefinite
+    input). f32 only; arbitrary batch dims.
+    """
+    return _chol_forward(a)
+
+
+def _chol_fwd(a):
+    L = _chol_forward(a)
+    return L, L
+
+
+def _chol_bwd(L, Lbar):
+    # Murray (2016): with S = L^T Lbar and Phi(X) = tril(X) - diag(X)/2,
+    # Abar = (1/2) L^-T (Phi(S) + Phi(S)^T) L^-1, which is symmetric.
+    S = jnp.swapaxes(L, -1, -2) @ Lbar
+    diag = jnp.diagonal(S, axis1=-2, axis2=-1)  # (..., m)
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    P = jnp.tril(S) - 0.5 * eye * diag[..., None, :]
+    Psym = P + jnp.swapaxes(P, -1, -2)
+    Lt = jnp.swapaxes(L, -1, -2)
+    # X = L^-T Psym L^-1 via two triangular solves.
+    tmp = jsl.solve_triangular(Lt, Psym, lower=False)  # L^-T Psym
+    X = jnp.swapaxes(
+        jsl.solve_triangular(Lt, jnp.swapaxes(tmp, -1, -2), lower=False),
+        -1,
+        -2,
+    )
+    # X is already symmetric (Psym is); average only to clean fp asymmetry.
+    return (0.25 * (X + jnp.swapaxes(X, -1, -2)),)
+
+
+cholesky.defvjp(_chol_fwd, _chol_bwd)
