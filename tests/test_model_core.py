@@ -619,3 +619,38 @@ def test_fit_loop_cache_invalidated_when_state_replaced(two_view_data):
     m._batch = dict(m._batch)
     m.fit(10, S=2)
     assert m._train_loop_cache["loop"] is not loop2
+
+
+def test_fit_multistart_vectorized_vs_sequential(two_view_data):
+    """The vmapped restart axis (vectorized='auto'/True) trains all restarts
+    in one scanned loop; the sequential path must remain available and both
+    must produce finite, decreasing traces and a winning model."""
+    m = _tiny_model(two_view_data, seed=0)
+    lv = m.fit_multistart(
+        n_epochs=60, n_restarts=3, S=2, verbose=False, vectorized=True
+    )
+    assert lv.shape == (60,) and np.isfinite(lv).all()
+    assert lv[-1] < lv[0]
+    e_vec = float(m.neg_elbo(S=2))
+
+    m2 = _tiny_model(two_view_data, seed=0)
+    ls = m2.fit_multistart(
+        n_epochs=60, n_restarts=3, S=2, verbose=False, vectorized=False
+    )
+    assert ls.shape == (60,) and np.isfinite(ls).all()
+    e_seq = float(m2.neg_elbo(S=2))
+    # Different RNG streams, same distributional behavior: both converge to
+    # the same loss scale (order of magnitude, not bit parity).
+    assert np.isfinite(e_vec) and np.isfinite(e_seq)
+    assert abs(np.log10(max(e_vec, 1e-9) / max(e_seq, 1e-9))) < 1.0
+
+    # vectorized=True must refuse configurations the batched loop can't run
+    with np.testing.assert_raises(RuntimeError):
+        m.fit_multistart(
+            n_epochs=5, n_restarts=2, verbose=False, vectorized=True,
+            average_last=3,
+        )
+    with np.testing.assert_raises(ValueError):
+        m.fit_multistart(
+            n_epochs=5, n_restarts=2, verbose=False, vectorized="sometimes"
+        )
