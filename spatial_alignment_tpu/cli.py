@@ -222,6 +222,19 @@ def cmd_predict(args) -> int:
         coords = np.tile(new_x, (n_views, 1))
     elif args.h5ad or args.coords:
         X, _, n_samples_list = _load_views(args)
+        if len(n_samples_list) != n_views:
+            raise SystemExit(
+                f"view-count mismatch: the checkpoint was trained with "
+                f"{n_views} views but the input file has "
+                f"{len(n_samples_list)} (n_samples_list={n_samples_list}); "
+                "each input view is warped through its own trained "
+                "posterior, so the counts must agree"
+            )
+        if X.shape[1] != D:
+            raise SystemExit(
+                f"spatial-dimension mismatch: checkpoint has {D}-D "
+                f"coordinates, input file has {X.shape[1]}-D"
+            )
         coords = np.asarray(X, np.float32)
         slices = np.insert(np.cumsum(n_samples_list), 0, 0)
         vi = {

@@ -647,7 +647,14 @@ class VariationalGPSA:
         and the epoch counter from a checkpoint written by ``save()`` after a
         previous ``fit`` and trains ``n_epochs`` MORE epochs — bit-identical
         to never having stopped (same optimizer config required; temperature
-        schedules are evaluated at the continued epoch numbers).
+        schedules are evaluated at the continued epoch numbers). With
+        ``recipe=...`` the schedule horizon is the TOTAL epoch count
+        (checkpointed step + n_epochs), so the continuation follows the
+        same cosine decay an uninterrupted fit of the total length runs —
+        not a fresh schedule restarted past its horizon. Checkpoints whose
+        params don't correspond to a live trajectory endpoint
+        (fit_multistart winners, ``average_last`` Polyak averages) carry no
+        optimizer state and refuse exact resume with a clear error.
         ``recipe="accurate"`` applies the converged-accuracy recipe measured
         in experiments/out/parity_vs_reference.json — Adam under cosine lr
         decay to lr/100 plus the temperature-0 (deterministic-warp)
@@ -663,32 +670,50 @@ class VariationalGPSA:
                 "include_data=False — it can predict but has no training "
                 "batch to fit on"
             )
-        optimizer, warp_temperature_schedule = _resolve_recipe(
-            recipe, lr, n_epochs, optimizer, warp_temperature_schedule,
-            opt_cache=self.__dict__.setdefault("_recipe_opt_cache", {}),
-        )
-        loop, opt_state = self._cached_train_loop(lr, S, optimizer, minibatch_size)
         epoch0 = 0
+        blob = None
         if resume_from is not None:
             from ..utils.checkpoint import (
                 load_checkpoint,
                 load_checkpoint_blob,
-                unflatten_into,
             )
 
+            # Restore params/consts BEFORE building the train loop: the
+            # loop's closure captures self.consts, so loading afterwards
+            # would train against the constructor's consts while the model
+            # reports the checkpoint's (silent divergence). Keep the
+            # existing consts object when values match so the loop cache's
+            # identity check survives (as reinitialize() does).
             blob = load_checkpoint_blob(resume_from)
-            self.params, self.consts = load_checkpoint(
-                resume_from, self.params, self.consts
-            )
             if not blob["opt"] or blob["rng_key"] is None:
                 raise ValueError(
                     f"{resume_from} carries no optimizer state / RNG key; it "
                     "was saved before any fit() or with include_opt=False — "
                     "cannot resume exactly (start a fresh fit instead)"
                 )
+            self.params, consts = load_checkpoint(
+                resume_from, self.params, self.consts
+            )
+            if not _tree_equal(consts, self.consts):
+                self.consts = consts
+            epoch0 = int(blob["manifest"].get("step") or 0)
+        # Resolve a named recipe over the TOTAL horizon (past + new epochs):
+        # on resume the restored optimizer count continues from epoch0, so a
+        # schedule built for n_epochs alone would be evaluated past its
+        # horizon (e.g. a cosine decay pinned at its floor for the whole
+        # continuation). With the total horizon the continuation follows the
+        # same schedule a single uninterrupted fit(epoch0 + n_epochs) runs.
+        optimizer, warp_temperature_schedule = _resolve_recipe(
+            recipe, lr, epoch0 + n_epochs, optimizer,
+            warp_temperature_schedule,
+            opt_cache=self.__dict__.setdefault("_recipe_opt_cache", {}),
+        )
+        loop, opt_state = self._cached_train_loop(lr, S, optimizer, minibatch_size)
+        if resume_from is not None:
+            from ..utils.checkpoint import unflatten_into
+
             opt_state = unflatten_into(opt_state, blob["opt"])
             carry_key = jnp.asarray(blob["rng_key"])
-            epoch0 = int(blob["manifest"].get("step") or 0)
         else:
             carry_key = self._next_key()
         if chunk_size is None:
@@ -740,12 +765,17 @@ class VariationalGPSA:
                 break
         if n_snapshots:
             self.params = jax.tree.map(lambda s: s / n_snapshots, params_sum)
+            # The Adam moments/RNG belong to the end-of-trajectory params,
+            # not the Polyak average — a checkpoint pairing them would
+            # silently mis-resume, so save() must write no optimizer state.
+            self._opt_state = None
+            self._carry_key = None
         else:
             self.params = carry[0]
-        # Stash the live training state so save() can write a checkpoint
-        # fit(resume_from=...) continues from exactly (Adam moments + RNG).
-        self._opt_state = carry[1]
-        self._carry_key = carry[2]
+            # Stash the live training state so save() can write a checkpoint
+            # fit(resume_from=...) continues from exactly (Adam moments+RNG).
+            self._opt_state = carry[1]
+            self._carry_key = carry[2]
         self._epoch = epoch0 + len(losses)
         return losses
 
@@ -1164,6 +1194,11 @@ class VariationalGPSA:
             if verbose:
                 print(f"winner: restart {best_r}", flush=True)
             self.params = best_params
+            # The stashed Adam moments/RNG (if any) belong to a different
+            # restart's trajectory than the winner — a checkpoint pairing
+            # them would silently mis-resume.
+            self._opt_state = None
+            self._carry_key = None
             if ensemble_top_k > 1:
                 top = runs[: min(ensemble_top_k, len(runs))]
                 self.ensemble_G_means_ = {
@@ -1222,6 +1257,10 @@ class VariationalGPSA:
                 "fit_multistart: no restart produced a finite tail-mean loss"
             )
         self.params = best[1]
+        # See the consistency branch: the stashed optimizer state belongs
+        # to a different restart than the winning params.
+        self._opt_state = None
+        self._carry_key = None
         return best[2]
 
     def save(
@@ -1322,14 +1361,17 @@ class VariationalGPSA:
         return model
 
     def _restore_training_state(self, path: str, blob=None):
-        """Pick up opt-state/RNG/epoch sections if the checkpoint has them
-        (they are restored lazily by fit(resume_from=...); here we just stash
-        the flat arrays)."""
+        """Pick up the RNG key / epoch counter if the checkpoint has them.
+
+        The optimizer-state arrays are NOT kept on the instance: exact
+        resume goes through ``fit(resume_from=path)``, which re-reads the
+        checkpoint and unflattens the moments into a freshly-built
+        opt-state template (the template's structure depends on the
+        optimizer the resuming fit uses, which is unknown here)."""
         from ..utils.checkpoint import load_checkpoint_blob
 
         if blob is None:
             blob = load_checkpoint_blob(path)
-        self._ckpt_opt_flat = blob["opt"] or None
         if blob["rng_key"] is not None:
             self._carry_key = jnp.asarray(blob["rng_key"])
         self._epoch = int(blob["manifest"].get("step") or 0)

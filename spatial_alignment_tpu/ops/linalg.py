@@ -135,8 +135,11 @@ def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
       nugget (property 1; bisection-verified: any boost >= 1.3x regresses
       converged de-novo error ~4x, experiments/out/jitter_bisect_*.json).
       These Grams factor at eps (saturated-m=50 lambda_min >= ~-9e-6), and
-      the cliff (property 2) was never observed below m=200: the probes
-      below stay a rarely-hit fallback whose first step is bounded at 10x.
+      the cliff (property 2) was never observed below m=200, so the single
+      probe here escalates straight to 100x when it fires — a
+      discontinuity, accepted because the regime makes it unreachable in
+      healthy training (round-2's exact design, accuracy-proven over every
+      small-m artifact).
     * m >= 64 — jitter = max(eps * max(1, mean diag),
                              0.5 * sqrt(m) * ulp * max_row_sum(|K|)).
       The second term is the f32 PSD-rounding noise floor (max |row sum|

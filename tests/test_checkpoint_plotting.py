@@ -162,3 +162,77 @@ def test_callback_multimodal_smoke():
     fig, axes = plt.subplots(2, 2)
     callback_twod_multimodal(model, data, {m: G_means[m] for m in data}, axes.ravel())
     plt.close(fig)
+
+
+def test_resume_with_recipe_matches_uninterrupted(tmp_path, two_view_data):
+    """fit(recipe=..., resume_from=...) must continue the SAME cosine
+    schedule an uninterrupted fit of the total length runs — the schedule
+    horizon is total epochs (checkpointed step + n_epochs), and the restored
+    optimizer count places the continuation on the right segment. A
+    fresh-horizon schedule would pin the whole continuation at the decay
+    floor (review finding, round 3)."""
+    from spatial_alignment_tpu.models.vgpsa import _resolve_recipe
+
+    m1 = _model(two_view_data, seed=0)
+    l_full = m1.fit(40, S=2, recipe="accurate")
+
+    # First segment: explicitly run the recipe's TOTAL-horizon (40-epoch)
+    # optimizer/schedule for 20 epochs, as an interrupted 40-epoch run
+    # would have.
+    opt40, temps40 = _resolve_recipe("accurate", 1e-2, 40, None, None)
+    m2 = _model(two_view_data, seed=0)
+    m2.fit(20, S=2, optimizer=opt40, warp_temperature_schedule=temps40)
+    p = str(tmp_path / "mid.npz")
+    m2.save(p)
+    # Continuation via the recipe: horizon resolves to step(20) + 20 = 40,
+    # so the schedule and its count line up with the uninterrupted run.
+    m3 = _model(two_view_data, seed=0)
+    l_resumed = m3.fit(20, S=2, recipe="accurate", resume_from=p)
+    assert np.isfinite(l_resumed).all()
+    for a, b in zip(jax.tree.leaves(m3.params), jax.tree.leaves(m1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(l_resumed, l_full[20:], rtol=1e-5, atol=1e-4)
+
+
+def test_multistart_winner_checkpoint_refuses_exact_resume(
+    tmp_path, two_view_data
+):
+    """After fit_multistart the stashed Adam moments belong to a different
+    restart than the winning params, so save() must write no optimizer
+    state and resume must fail loudly instead of silently mis-resuming."""
+    m = _model(two_view_data, seed=0)
+    m.fit_multistart(n_epochs=10, n_restarts=2, S=2, verbose=False)
+    p = str(tmp_path / "winner.npz")
+    m.save(p)
+    m2 = _model(two_view_data, seed=0)
+    with pytest.raises(ValueError, match="no optimizer state"):
+        m2.fit(5, S=2, resume_from=p)
+
+
+def test_average_last_checkpoint_refuses_exact_resume(tmp_path, two_view_data):
+    """Polyak-averaged params are not a trajectory endpoint; pairing them
+    with end-of-trajectory Adam moments would silently mis-resume."""
+    m = _model(two_view_data, seed=0)
+    m.fit(20, S=2, average_last=10)
+    p = str(tmp_path / "avg.npz")
+    m.save(p)
+    m2 = _model(two_view_data, seed=0)
+    with pytest.raises(ValueError, match="no optimizer state"):
+        m2.fit(5, S=2, resume_from=p)
+
+
+def test_resume_keeps_consts_object_when_values_match(tmp_path, two_view_data):
+    """fit(resume_from=...) restores consts BEFORE building the train loop
+    (so the loop closure can't capture stale values) and keeps the existing
+    consts object when values match, preserving the compiled-loop cache."""
+    m = _model(two_view_data, seed=0)
+    m.fit(10, S=2)
+    p = str(tmp_path / "c.npz")
+    m.save(p)
+    consts_before = m.consts
+    loop_before = m._train_loop_cache["loop"]
+    m.fit(5, S=2, resume_from=p)
+    assert m.consts is consts_before
+    assert m._train_loop_cache["loop"] is loop_before

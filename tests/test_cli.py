@@ -129,3 +129,19 @@ def test_cli_h5ad_input(tmp_path):
 def test_cli_errors(tmp_path):
     with pytest.raises(SystemExit):
         main(["align", "--coords", "x.csv", "--out", str(tmp_path)])  # no counts
+
+
+def test_cli_predict_view_count_mismatch_errors(tmp_path):
+    """A 2-view checkpoint driven with a 1-view input file must fail with a
+    clear view-count message, not an IndexError or silent mis-assignment
+    (round-3 review finding)."""
+    paths, X0 = _write_views(tmp_path)
+    out = tmp_path / "out"
+    main(_align_args(tmp_path, paths, out))
+    (ca, ya), _ = paths["a"], paths["b"]
+    with pytest.raises(SystemExit, match="view-count mismatch"):
+        main([
+            "predict", "--coords", ca, "--counts", ya,
+            "--checkpoint", str(out / "model.npz"),
+            "--out", str(tmp_path / "pred_bad"),
+        ])
