@@ -1,0 +1,185 @@
+"""Op-level TPU step profile at the real-data (Visium) config.
+
+Captures a ``jax.profiler`` trace of the scanned train loop at N=4,050,
+m=200, S=5, L=10 (the reference's real-data config,
+/root/reference/experiments/expression/visium/visium_alignment.py:48-49),
+parses the Chrome-trace events from the device track, and writes a per-op
+time-share table to ``experiments/out/op_profile_visium.json``.
+
+This answers the VERDICT r2 item-3 follow-up: the variant-level deltas in
+step_profile.json attribute square->triangular to the variational
+factorizations, but the remaining ~4 ms/step at m=200 was unattributed
+("many small solves/matmuls"). The op table names them.
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def build_model(n_spots, m, seed=0, **kw):
+    import jax
+    from spatial_alignment_tpu import VariationalGPSA
+    from spatial_alignment_tpu.data.simulated import generate_twod_data
+
+    X, Y, n_samples_list, view_idx = generate_twod_data(
+        n_views=2,
+        n_outputs=10,
+        grid_size=int(np.sqrt(n_spots // 2)),
+        n_latent_gps=None,
+        kernel_lengthscale=5.0,
+        kernel_variance=0.5,
+        rng=np.random.default_rng(seed),
+    )
+    data_dict = {
+        "expression": {
+            "spatial_coords": X.astype(np.float32),
+            "outputs": Y.astype(np.float32),
+            "n_samples_list": n_samples_list,
+        }
+    }
+    model = VariationalGPSA(
+        data_dict,
+        m_X_per_view=m,
+        m_G=m,
+        n_latent_gps={"expression": 10},
+        mean_function="identity_fixed",
+        fixed_view_idx=0,
+        **kw,
+    )
+    return model
+
+
+_CATEGORIES = [
+    ("cholesky", re.compile(r"cholesky", re.I)),
+    ("triangular_solve", re.compile(r"triangular|trsm", re.I)),
+    ("dot/matmul", re.compile(r"^(fusion.*)?(dot|convolution)|^dot|gemm", re.I)),
+    ("rng", re.compile(r"rng|threefry|philox|rbg", re.I)),
+    ("scan_overhead", re.compile(r"while|copy|tuple|bitcast", re.I)),
+    ("fusion_other", re.compile(r"^(loop_)?fusion", re.I)),
+]
+
+
+def categorize(name):
+    for cat, pat in _CATEGORIES:
+        if pat.search(name):
+            return cat
+    return "other"
+
+
+def parse_trace(tracedir):
+    """Aggregate device-track op durations from the newest trace.json.gz."""
+    paths = sorted(
+        glob.glob(os.path.join(tracedir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {tracedir}")
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # Identify device pids: process_name metadata containing 'TPU' / 'device'
+    pid_names = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev.get("args", {}).get("name", "")
+    device_pids = {
+        pid
+        for pid, name in pid_names.items()
+        if ("TPU" in name or "Device" in name.title()) and "Host" not in name
+    }
+    op_time = defaultdict(float)
+    op_count = defaultdict(int)
+    total = 0.0
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+            continue
+        name = ev.get("name", "")
+        dur = float(ev.get("dur", 0.0))  # microseconds
+        op_time[name] += dur
+        op_count[name] += 1
+        total += dur
+    return op_time, op_count, total, pid_names
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-spots", type=int, default=4050)
+    ap.add_argument("--m", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--out", default="experiments/out/op_profile_visium.json")
+    ap.add_argument("--triangular", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    model = build_model(
+        args.n_spots, args.m, triangular_variational=args.triangular
+    )
+    loop, opt_state = model.make_train_loop(lr=1e-2, S=5)
+    carry = (model.params, opt_state, jax.random.PRNGKey(0))
+    carry, losses = loop(carry, args.steps)  # compile + warmup
+    losses.block_until_ready()
+    t0 = time.perf_counter()
+    carry, losses = loop(carry, args.steps)
+    losses.block_until_ready()
+    steps_per_sec = args.steps / (time.perf_counter() - t0)
+
+    tracedir = tempfile.mkdtemp(prefix="opprof_")
+    with jax.profiler.trace(tracedir):
+        carry, losses = loop(carry, args.steps)
+        losses.block_until_ready()
+
+    op_time, op_count, total, pid_names = parse_trace(tracedir)
+    cat_time = defaultdict(float)
+    for name, t in op_time.items():
+        cat_time[categorize(name)] += t
+    top = sorted(op_time.items(), key=lambda kv: -kv[1])[:40]
+    record = {
+        "config": {
+            "n_spots": args.n_spots,
+            "m": args.m,
+            "S": 5,
+            "steps_traced": args.steps,
+            "triangular": bool(args.triangular),
+        },
+        "platform": jax.devices()[0].platform,
+        "steps_per_sec_untraced": steps_per_sec,
+        "device_total_us_per_step": total / args.steps,
+        "category_shares": {
+            k: v / total for k, v in sorted(cat_time.items(), key=lambda kv: -kv[1])
+        },
+        "top_ops": [
+            {
+                "name": n,
+                "us_per_step": t / args.steps,
+                "share": t / total,
+                "count_per_step": op_count[n] / args.steps,
+            }
+            for n, t in top
+        ],
+        "process_names": {str(k): v for k, v in pid_names.items()},
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps({k: record[k] for k in ("steps_per_sec_untraced", "device_total_us_per_step")}))
+    for k, v in record["category_shares"].items():
+        print(f"{k:20s} {v:6.1%}")
+    for o in record["top_ops"][:15]:
+        print(f"{o['share']:6.1%} {o['us_per_step']:9.1f}us x{o['count_per_step']:5.1f}  {o['name'][:90]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ from ..ops.linalg import (
     cholesky_solve,
     factor_psd_cholesky,
     jittered_cholesky,
+    joint_factor_cholesky,
     kl_mvn_chol,
     kl_whitened,
     tri_solve,
@@ -134,6 +135,122 @@ def svgp_mean_var(
     return mu_tilde, sigma
 
 
+class FactorPass(NamedTuple):
+    """Every Cholesky factor a train step needs, from one batched pass.
+
+    A batched TPU Cholesky is a serial panel loop whose wall time is nearly
+    independent of the batch size, so the per-step factorization cost scales
+    with the number of XLA dispatches, not matrices. ``compute_factors``
+    stacks the warp-layer Kuu Grams (active views), the data-layer Kuu Gram,
+    and — in square mode — all variational-covariance products into one
+    probe dispatch + one final dispatch (two groups when m_X != m_G),
+    replacing the ~8 per-site dispatches of the per-layer path. Numerically
+    identical per matrix (batch lanes of a Cholesky are independent); the
+    merged op's VJP also merges in the backward pass.
+    """
+
+    warp_Kuu_chol: jnp.ndarray  # (Va, m_X, m_X) — active views only
+    warp_Om_tril: jnp.ndarray  # (Va, D, m_X, m_X)
+    data_Kuu_chol: jnp.ndarray  # (m_G, m_G)
+    data_Om_tril: Dict[str, jnp.ndarray]  # {mod: (L, m_G, m_G)}
+
+
+def _active_views(spec: ModelSpec):
+    return [v for v in range(spec.n_views) if not spec.fixed_view_mask[v]]
+
+
+def _take_active(spec: ModelSpec, arr: jnp.ndarray, active) -> jnp.ndarray:
+    if len(active) == spec.n_views:
+        return arr  # no gather in the all-active graph
+    return jnp.take(arr, jnp.asarray(active), axis=0)
+
+
+def _warp_grams(spec: ModelSpec, hp: dict, active):
+    """(Kuu (Va, m_X, m_X), Omega_sqt (Va, D, m_X, m_X)) for active views."""
+    kern = get_kernel(spec.kernel_warp)
+    Xt = _take_active(spec, hp["Xtilde"], active)
+    ls = _take_active(spec, hp["warp_kernel_lengthscales"], active)
+    var = _take_active(spec, hp["warp_kernel_variances"], active)
+    Kuu = jax.vmap(lambda X, l, v: kern(X, X, l, v))(Xt, ls, var)
+    Om_sqt = _take_active(spec, hp["Omega_sqt_G"], active)
+    return Kuu, Om_sqt
+
+
+def _data_gram(spec: ModelSpec, hp: dict) -> jnp.ndarray:
+    kern = get_kernel(spec.kernel_data)
+    return kern(
+        hp["Gtilde"],
+        hp["Gtilde"],
+        hp["data_kernel_lengthscale"],
+        hp["data_kernel_variance"],
+    )
+
+
+def _split_sizes(sizes, slab):
+    parts, off = [], 0
+    for s in sizes:
+        parts.append(slab[off : off + s])
+        off += s
+    return parts
+
+
+def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
+    """One batched factorization pass over all of the step's m x m matrices.
+
+    See :class:`FactorPass`. In triangular/whitened modes the variational
+    factors are stored as tril (zero factorizations), so only the Kuu slabs
+    merge; in square mode the Omega products join the same final dispatch.
+    """
+    eps = spec.diagonal_offset
+    active = _active_views(spec)
+    Va = len(active)
+    D = spec.n_spatial_dims
+    tril_mode = spec.triangular_variational or spec.whitened_variational
+
+    Kuu_w, Om_w_sqt = _warp_grams(spec, hp, active)
+    Kuu_d = _data_gram(spec, hp)
+    m_X, m_G = Kuu_w.shape[-1], Kuu_d.shape[-1]
+    om_d_list = [hp["Omega_sqt_F"][mod.name] for mod in spec.modalities]
+    om_d_sizes = [s.shape[0] for s in om_d_list]
+    mod_names = [mod.name for mod in spec.modalities]
+
+    if tril_mode:
+        Om_w_tril = jnp.tril(Om_w_sqt)
+        Om_d_tril = {n: jnp.tril(s) for n, s in zip(mod_names, om_d_list)}
+        if m_X == m_G and Va > 0:
+            L = jittered_cholesky(
+                jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0), eps
+            )
+            L_w, L_d = L[:Va], L[Va]
+        else:
+            L_w = jittered_cholesky(Kuu_w, eps) if Va else Kuu_w
+            L_d = jittered_cholesky(Kuu_d, eps)
+        return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril)
+
+    Om_w_flat = Om_w_sqt.reshape(Va * D, m_X, m_X)
+    Om_d_flat = jnp.concatenate(om_d_list, axis=0)
+    if m_X == m_G and Va > 0:
+        Lg, Lp = joint_factor_cholesky(
+            jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0),
+            jnp.concatenate([Om_w_flat, Om_d_flat], axis=0),
+            eps,
+        )
+        L_w, L_d = Lg[:Va], Lg[Va]
+        Om_w_tril = Lp[: Va * D].reshape(Va, D, m_X, m_X)
+        Om_d_parts = _split_sizes(om_d_sizes, Lp[Va * D :])
+    else:
+        if Va:
+            L_w, Om_w_t = joint_factor_cholesky(Kuu_w, Om_w_flat, eps)
+            Om_w_tril = Om_w_t.reshape(Va, D, m_X, m_X)
+        else:
+            L_w, Om_w_tril = Kuu_w, Om_w_sqt
+        Lg_d, Lp_d = joint_factor_cholesky(Kuu_d[None], Om_d_flat, eps)
+        L_d = Lg_d[0]
+        Om_d_parts = _split_sizes(om_d_sizes, Lp_d)
+    Om_d_tril = dict(zip(mod_names, Om_d_parts))
+    return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril)
+
+
 def omega_tril(spec: ModelSpec, Om_sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
     """Cholesky factor of the variational covariance from its stored factor.
 
@@ -180,6 +297,7 @@ def warp_layer(
     S: int,
     temperature=1.0,
     noise: Optional[jnp.ndarray] = None,
+    factors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, WarpAux]:
     """Per-view warp GP posterior + S reparameterized samples.
 
@@ -187,37 +305,52 @@ def warp_layer(
     Vectorized replacement for the reference view loop (vgpsa.py:259-351).
     ``noise`` overrides the internal (S, V, Ntot, D) standard-normal draw
     (used by the shard_map executor to keep shards bit-identical to the
-    single-device program).
+    single-device program). ``factors`` supplies the active views'
+    (Kuu_chol (Va, m, m), Om_tril (Va, D, m, m)) from a shared
+    :func:`compute_factors` pass; None computes them here (same math).
     """
-    kern = get_kernel(spec.kernel_warp)
     eps = spec.diagonal_offset
+    active = _active_views(spec)
+    Va = len(active)
+    if factors is None and Va:
+        Kuu_w, Om_w_sqt = _warp_grams(spec, hp, active)
+        if spec.triangular_variational or spec.whitened_variational:
+            L_a = jittered_cholesky(Kuu_w, eps)
+            Om_a = jnp.tril(Om_w_sqt)
+        else:
+            m_X = Kuu_w.shape[-1]
+            L_a, Om_flat = joint_factor_cholesky(
+                Kuu_w, Om_w_sqt.reshape(Va * spec.n_spatial_dims, m_X, m_X), eps
+            )
+            Om_a = Om_flat.reshape(Om_w_sqt.shape)
+    elif factors is not None:
+        L_a, Om_a = factors
 
-    def one_view(Xt, Xv, ls, var, slope, intercept, Om_sqt, delta):
-        L = jittered_cholesky(kern(Xt, Xt, ls, var), eps)
+    def one_view(Xt, Xv, ls, var, slope, intercept, L, Om_tril_v, delta):
         Kuf = gram(Xt, Xv, ls, var, spec.kernel_warp)  # (m, Ntot); pallas at scale
         mu_x = Xv @ slope + intercept  # (Ntot, D)
         mu_z = Xt @ slope + intercept  # (m, D)
         kff = jnp.exp(var) * jnp.ones(Xv.shape[0], Xv.dtype)  # vgpsa.py:310-312
-        Om_tril = omega_tril(spec, Om_sqt, eps)
         mu_t, sig = svgp_mean_var(
-            kff, Kuf, L, mu_x, mu_z, delta, Om_tril, eps,
+            kff, Kuf, L, mu_x, mu_z, delta, Om_tril_v, eps,
             matmul_precision=spec.svgp_matmul_precision,
             whitened=spec.whitened_variational,
         )
-        return mu_t, sig, L, Om_tril, mu_z
+        return mu_t, sig, mu_z
 
-    active = [v for v in range(spec.n_views) if not spec.fixed_view_mask[v]]
-    if len(active) == spec.n_views:
-        mu_tilde, sigma, Kuu_chol, Om_tril, mu_z = jax.vmap(one_view)(
+    if Va == spec.n_views:
+        mu_tilde, sigma, mu_z = jax.vmap(one_view)(
             hp["Xtilde"],
             X_all,
             hp["warp_kernel_lengthscales"],
             hp["warp_kernel_variances"],
             hp["mean_slopes"],
             hp["mean_intercepts"],
-            hp["Omega_sqt_G"],
+            L_a,
+            Om_a,
             hp["delta_G"],
         )
+        Kuu_chol, Om_tril = L_a, Om_a
     else:
         # Fixed (template) views: every one_view output is discarded — the
         # mean/samples are overwritten with X_all below and the KL rows are
@@ -237,14 +370,15 @@ def warp_layer(
         Om_tril = jnp.broadcast_to(eye_m, hp["Omega_sqt_G"].shape)
         mu_z = jnp.zeros((V, m, D), dt)
         if active:
-            mu_a, sig_a, L_a, Om_a, muz_a = jax.vmap(one_view)(
+            mu_a, sig_a, muz_a = jax.vmap(one_view)(
                 take(hp["Xtilde"]),
                 take(X_all),
                 take(hp["warp_kernel_lengthscales"]),
                 take(hp["warp_kernel_variances"]),
                 take(hp["mean_slopes"]),
                 take(hp["mean_intercepts"]),
-                take(hp["Omega_sqt_G"]),
+                L_a,
+                Om_a,
                 take(hp["delta_G"]),
             )
             mu_tilde = mu_tilde.at[idx].set(mu_a)
@@ -295,23 +429,46 @@ def _pick_chunk(n: int, requested) -> Optional[int]:
     return n // nc
 
 
+def _data_factors(
+    spec: ModelSpec, hp: dict
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """(Kuu_chol (m_G, m_G), {mod: Om_tril (L, m_G, m_G)}) for the data layer,
+    from one probe + one final dispatch (see :class:`FactorPass`)."""
+    eps = spec.diagonal_offset
+    Kuu_d = _data_gram(spec, hp)
+    om_list = [hp["Omega_sqt_F"][mod.name] for mod in spec.modalities]
+    names = [mod.name for mod in spec.modalities]
+    if spec.triangular_variational or spec.whitened_variational:
+        return (
+            jittered_cholesky(Kuu_d, eps),
+            {n: jnp.tril(s) for n, s in zip(names, om_list)},
+        )
+    Lg, Lp = joint_factor_cholesky(
+        Kuu_d[None], jnp.concatenate(om_list, axis=0), eps
+    )
+    parts = _split_sizes([s.shape[0] for s in om_list], Lp)
+    return Lg[0], dict(zip(names, parts))
+
+
 def data_layer(
     spec: ModelSpec,
     hp: dict,
     G_samples: Dict[str, jnp.ndarray],  # {mod: (S, V, Np, D)}
     key: jax.Array,
     noise: Optional[Dict[str, jnp.ndarray]] = None,  # {mod: (S, V*Np, L)}
+    factors: Optional[Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], DataAux]:
     """Multi-output data GP evaluated at the sampled aligned coordinates.
 
     Batched over S and (statically) over modalities; replaces vgpsa.py:353-477.
+    ``factors`` supplies (Kuu_chol, {mod: Om_tril}) from a shared
+    :func:`compute_factors` pass; None computes them here (same math).
     """
-    kern = get_kernel(spec.kernel_data)
     eps = spec.diagonal_offset
     ls = hp["data_kernel_lengthscale"]
     var = hp["data_kernel_variance"]
 
-    L_F = jittered_cholesky(kern(hp["Gtilde"], hp["Gtilde"], ls, var), eps)
+    L_F, Om_tril_by_mod = factors if factors is not None else _data_factors(spec, hp)
 
     F_latent, F_obs, Om_tril_F = {}, {}, {}
     keys = jax.random.split(key, spec.n_modalities)
@@ -319,8 +476,7 @@ def data_layer(
         S, V, Np, D = G_samples[mod.name].shape
         N = V * Np
         G = G_samples[mod.name].reshape(S, N, D)
-        Om_sqt = hp["Omega_sqt_F"][mod.name]
-        Om_tril = omega_tril(spec, Om_sqt, eps)  # (L, m_G, m_G)
+        Om_tril = Om_tril_by_mod[mod.name]  # (L, m_G, m_G)
         delta = hp["delta_F"][mod.name]  # (m_G, L)
         eps_f = (
             noise[mod.name]
@@ -372,6 +528,7 @@ def data_layer_moments(
     spec: ModelSpec,
     hp: dict,
     G_samples: Dict[str, jnp.ndarray],  # {mod: (S, V, Np, D)}
+    factors: Optional[Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], DataAux]:
     """Per-point observed-output moments of the data GP (no sampling).
 
@@ -383,19 +540,17 @@ def data_layer_moments(
 
     Returns ({mod: mu_obs (S, V, Np, P)}, {mod: var_obs (S, V, Np, P)}, aux).
     """
-    kern = get_kernel(spec.kernel_data)
     eps = spec.diagonal_offset
     ls = hp["data_kernel_lengthscale"]
     var = hp["data_kernel_variance"]
-    L_F = jittered_cholesky(kern(hp["Gtilde"], hp["Gtilde"], ls, var), eps)
+    L_F, Om_tril_by_mod = factors if factors is not None else _data_factors(spec, hp)
 
     mu_obs, var_obs, Om_tril_F = {}, {}, {}
     for mod in spec.modalities:
         S, V, Np, D = G_samples[mod.name].shape
         N = V * Np
         G = G_samples[mod.name].reshape(S, N, D)
-        Om_sqt = hp["Omega_sqt_F"][mod.name]
-        Om_tril = omega_tril(spec, Om_sqt, eps)
+        Om_tril = Om_tril_by_mod[mod.name]
         delta = hp["delta_F"][mod.name]
 
         def moments(G_pts):
@@ -505,10 +660,17 @@ def forward(
     with jax.default_matmul_precision("highest"):
         k_warp, k_data, k_test = jax.random.split(key, 3)
         X_all, _ = _concat_modalities(spec, batch)
-        G_mean_all, G_sample_all, warp_aux = warp_layer(spec, hp, X_all, k_warp, S, temperature)
+        fp = compute_factors(spec, hp)
+        G_mean_all, G_sample_all, warp_aux = warp_layer(
+            spec, hp, X_all, k_warp, S, temperature,
+            factors=(fp.warp_Kuu_chol, fp.warp_Om_tril),
+        )
         G_means = _split_modalities(spec, G_mean_all, axis=1)
         G_samples = _split_modalities(spec, G_sample_all, axis=2)
-        F_latent, F_obs, data_aux = data_layer(spec, hp, G_samples, k_data)
+        F_latent, F_obs, data_aux = data_layer(
+            spec, hp, G_samples, k_data,
+            factors=(fp.data_Kuu_chol, fp.data_Om_tril),
+        )
 
         F_latent_t = F_obs_t = None
         if G_test is not None:
@@ -621,11 +783,16 @@ def negative_elbo(
         if spec.analytic_data_likelihood:
             k_warp, _ = jax.random.split(key, 2)
             X_all, _ = _concat_modalities(spec, batch)
+            fp = compute_factors(spec, hp)
             _, G_sample_all, warp_aux = warp_layer(
-                spec, hp, X_all, k_warp, S, temperature
+                spec, hp, X_all, k_warp, S, temperature,
+                factors=(fp.warp_Kuu_chol, fp.warp_Om_tril),
             )
             G_samples = _split_modalities(spec, G_sample_all, axis=2)
-            mu_obs, var_obs, data_aux = data_layer_moments(spec, hp, G_samples)
+            mu_obs, var_obs, data_aux = data_layer_moments(
+                spec, hp, G_samples,
+                factors=(fp.data_Kuu_chol, fp.data_Om_tril),
+            )
             KL = kl_divergence(spec, hp, warp_aux, data_aux)
             noise_pos = jnp.exp(hp["noise_variance"]) + spec.diagonal_offset
             LL = jnp.zeros(())
@@ -745,10 +912,16 @@ def predict_mean(
     with jax.default_matmul_precision("highest"):
         X_all, _ = _concat_modalities(spec, batch)
         dummy_key = jax.random.PRNGKey(0)  # temperature 0: key is unused
-        G_mean_all, _, _ = warp_layer(spec, hp, X_all, dummy_key, 1, 0.0)
+        fp = compute_factors(spec, hp)
+        G_mean_all, _, _ = warp_layer(
+            spec, hp, X_all, dummy_key, 1, 0.0,
+            factors=(fp.warp_Kuu_chol, fp.warp_Om_tril),
+        )
         G_means = _split_modalities(spec, G_mean_all, axis=1)
         G_as_sample = {m: G_means[m][None] for m in spec.modality_names}
-        mu_obs, var_obs, _ = data_layer_moments(spec, hp, G_as_sample)
+        mu_obs, var_obs, _ = data_layer_moments(
+            spec, hp, G_as_sample, factors=(fp.data_Kuu_chol, fp.data_Om_tril)
+        )
         return (
             G_means,
             {m: mu_obs[m][0] for m in spec.modality_names},

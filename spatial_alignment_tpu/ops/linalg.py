@@ -9,6 +9,8 @@ onto the MXU.
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +20,7 @@ __all__ = [
     "add_jitter",
     "safe_cholesky",
     "factor_psd_cholesky",
+    "joint_factor_cholesky",
     "cholesky_solve",
     "tri_solve",
     "kl_mvn_chol",
@@ -160,6 +163,18 @@ def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
     10x first step limits the damage if one ever fires; the extra
     factorization is noise next to the m >= 64 Gram work.
     """
+    jitter = _probed_jitter(mat, eps)
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    return _chol(mat + jitter[..., None, None] * eye)
+
+
+def _base_jitter(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Per-matrix deterministic jitter: reference-scale eps nugget, plus the
+    f32 PSD-rounding noise floor at static size m >= _FLOOR_MIN_M (see
+    :func:`jittered_cholesky`). Stop-gradient: the jitter is numerical
+    stabilization, not a model quantity; differentiating through it adds
+    layout-unstable subgradient noise (measured as a 12% single-element
+    gradient divergence between shard_map and single-device layouts)."""
     m = mat.shape[-1]
     diag_mean = jnp.maximum(
         1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
@@ -168,27 +183,66 @@ def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
     if m >= _FLOOR_MIN_M:
         row_norm = jnp.max(jnp.sum(jnp.abs(mat), axis=-1), axis=-1)
         base = jnp.maximum(base, _NOISE_SAFETY * np.sqrt(m) * _ULP_F32 * row_norm)
-    # Frozen: the jitter is numerical stabilization, not a model quantity;
-    # differentiating through it adds layout-unstable subgradient noise
-    # (measured as a 12% single-element gradient divergence between the
-    # shard_map and single-device layouts when it was left differentiable).
-    base = jax.lax.stop_gradient(base)
+    return jax.lax.stop_gradient(base)
+
+
+def _probed_jitter(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """The NaN-probe-escalated jitter for a (batched) kernel Gram slab.
+
+    One batched probe dispatch covers all rungs: in the floor regime
+    (m >= _FLOOR_MIN_M) the base and 10x rungs are stacked along the batch
+    axis and factored together — the escalation logic is unchanged from the
+    two-dispatch form (the selected jitter is identical per matrix), but a
+    batched TPU Cholesky is latency-bound in m, so the stacked probe costs
+    the same wall time as one rung."""
+    base = _base_jitter(mat, eps)
+    m = mat.shape[-1]
     eye = jnp.eye(m, dtype=mat.dtype)
     frozen = jax.lax.stop_gradient(mat)
-
-    def probe_ok(jit):
-        L = _chol(frozen + jit[..., None, None] * eye)
-        return jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-2, -1)))
-
-    ok1 = probe_ok(base)
     if m >= _FLOOR_MIN_M:
-        ok2 = probe_ok(10.0 * base)
-        jitter = jnp.where(
-            ok1, base, jnp.where(ok2, 10.0 * base, 100.0 * base)
-        )
-    else:
-        jitter = jnp.where(ok1, base, 100.0 * base)
-    return _chol(mat + jitter[..., None, None] * eye)
+        slab = jnp.stack([base, 10.0 * base])  # (2, ...batch)
+        probes = _chol(frozen[None] + slab[..., None, None] * eye)
+        ok = jnp.logical_not(jnp.any(jnp.isnan(probes), axis=(-2, -1)))
+        return jnp.where(ok[0], base, jnp.where(ok[1], 10.0 * base, 100.0 * base))
+    L = _chol(frozen + base[..., None, None] * eye)
+    ok1 = jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-2, -1)))
+    return jnp.where(ok1, base, 100.0 * base)
+
+
+def joint_factor_cholesky(
+    gram: jnp.ndarray, psd_sqt: Optional[jnp.ndarray], eps: float
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Factor a Gram slab and a PSD-product slab in ONE final dispatch.
+
+    ``gram`` is a (Bg, m, m) slab of kernel Gram matrices (probed floor
+    jitter, exactly :func:`jittered_cholesky` semantics per matrix);
+    ``psd_sqt`` is a (Bp, m, m) slab of free square factors A whose products
+    A A^T + eps*scale*I need factoring (exactly :func:`factor_psd_cholesky`
+    semantics per matrix), or None. Returns (L_gram (Bg, m, m),
+    L_psd (Bp, m, m) | None).
+
+    Rationale: a batched TPU Cholesky is a serial panel loop whose wall time
+    is nearly independent of the batch size, so the per-step cost scales with
+    the number of *dispatches*, not the number of matrices. Stacking every
+    same-sized factorization of a train step into one call (plus one stacked
+    probe call) replaces ~8 latency-bound dispatches with 2 — numerically
+    identical per matrix (batch lanes are independent).
+    """
+    jitter = _probed_jitter(gram, eps)
+    m = gram.shape[-1]
+    eye = jnp.eye(m, dtype=gram.dtype)
+    jittered = gram + jitter[..., None, None] * eye
+    if psd_sqt is None:
+        return _chol(jittered), None
+    mat = psd_sqt @ jnp.swapaxes(psd_sqt, -1, -2)
+    diag_mean = jnp.maximum(
+        1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
+    )
+    scale = jax.lax.stop_gradient(diag_mean)
+    psd_jittered = mat + (eps * scale)[..., None, None] * eye
+    Bg = gram.shape[0]
+    L = _chol(jnp.concatenate([jittered, psd_jittered], axis=0))
+    return L[:Bg], L[Bg:]
 
 
 def factor_psd_cholesky(sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
