@@ -200,6 +200,14 @@ def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
     See :class:`FactorPass`. In triangular/whitened modes the variational
     factors are stored as tril (zero factorizations), so only the Kuu slabs
     merge; in square mode the Omega products join the same final dispatch.
+
+    When ``spec.merged_factor_dispatch`` is False (set by
+    ``parallel.distribute`` when the model axis shards the variational
+    state), the model-sharded ``Omega_sqt_F`` products are factored in their
+    own per-modality dispatches: fusing them into the replicated Gram slab
+    makes the SPMD partitioner leak NaN into zero-weight lanes' gradients
+    and would force per-step reshard collectives. All other (replicated)
+    lanes still merge.
     """
     eps = spec.diagonal_offset
     active = _active_views(spec)
@@ -228,6 +236,26 @@ def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
         return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril)
 
     Om_w_flat = Om_w_sqt.reshape(Va * D, m_X, m_X)
+    if not spec.merged_factor_dispatch:
+        # Keep the model-sharded Omega_sqt_F lanes out of the merged slab.
+        Om_d_tril = {
+            n: factor_psd_cholesky(s, eps) for n, s in zip(mod_names, om_d_list)
+        }
+        if m_X == m_G and Va > 0:
+            Lg, Lp = joint_factor_cholesky(
+                jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0), Om_w_flat, eps
+            )
+            L_w, L_d = Lg[:Va], Lg[Va]
+            Om_w_tril = Lp.reshape(Va, D, m_X, m_X)
+        else:
+            if Va:
+                L_w, Om_w_t = joint_factor_cholesky(Kuu_w, Om_w_flat, eps)
+                Om_w_tril = Om_w_t.reshape(Va, D, m_X, m_X)
+            else:
+                L_w, Om_w_tril = Kuu_w, Om_w_sqt
+            L_d = jittered_cholesky(Kuu_d, eps)
+        return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril)
+
     Om_d_flat = jnp.concatenate(om_d_list, axis=0)
     if m_X == m_G and Va > 0:
         Lg, Lp = joint_factor_cholesky(
@@ -442,6 +470,12 @@ def _data_factors(
         return (
             jittered_cholesky(Kuu_d, eps),
             {n: jnp.tril(s) for n, s in zip(names, om_list)},
+        )
+    if not spec.merged_factor_dispatch:
+        # Model-sharded Omega_sqt_F: own dispatches (see compute_factors).
+        return (
+            jittered_cholesky(Kuu_d, eps),
+            {n: factor_psd_cholesky(s, eps) for n, s in zip(names, om_list)},
         )
     Lg, Lp = joint_factor_cholesky(
         Kuu_d[None], jnp.concatenate(om_list, axis=0), eps
@@ -704,32 +738,69 @@ def kl_divergence(
     for corresponding q distributions.
     """
     mu_q = jnp.swapaxes(hp["delta_G"], -1, -2)  # (V, D, m)
+    not_fixed = 1.0 - jnp.asarray(spec.fixed_view_mask, mu_q.dtype)
     if spec.whitened_variational:
         kl_G = kl_whitened(mu_q, warp_aux.Omega_tril)  # (V, D)
-    else:
-        # Warp posteriors, masked over fixed views (vgpsa.py:498-516)
-        mu_p = jnp.swapaxes(warp_aux.mu_z, -1, -2)  # (V, D, m)
-        kl_G = kl_mvn_chol(
-            mu_q, warp_aux.Omega_tril, mu_p, warp_aux.Kuu_chol[:, None]
-        )  # (V, D)
-    not_fixed = 1.0 - jnp.asarray(spec.fixed_view_mask, kl_G.dtype)
-    KL = jnp.sum(kl_G * not_fixed[:, None])
+        KL = jnp.sum(kl_G * not_fixed[:, None])
+        for mod in spec.modalities:
+            delta = hp["delta_F"][mod.name]  # (m_G, L)
+            KL = KL + jnp.sum(
+                kl_whitened(
+                    jnp.swapaxes(delta, -1, -2), data_aux.Omega_tril[mod.name]
+                )
+            )
+        return KL
 
-    # Data posteriors, batched over latent GPs (vgpsa.py:520-530)
+    # One kl_mvn_chol call per matrix size: every KL term's triangular solve
+    # shares the same latency-bound (B, m, m+1) dispatch (batch lanes are
+    # independent, so each term's value is bit-identical to a per-term call).
+    # Warp terms (vgpsa.py:498-516, masked over fixed views) flatten to
+    # V*D lanes; data terms (vgpsa.py:520-530) contribute L lanes per
+    # modality and share m_G.
+    V, D, m_X = mu_q.shape
+    mu_p_w = jnp.swapaxes(warp_aux.mu_z, -1, -2)  # (V, D, m)
+    groups: Dict[int, list] = {}
+    # Fixed views are statically excluded (their masked term is exactly 0 and
+    # their aux entries are constant fillers — under the SPMD partitioner a
+    # weight-0 filler lane in the merged slab leaked NaN into the fixed
+    # view's gradient, so the lanes must not exist rather than be masked).
+    active = _active_views(spec)
+    Va = len(active)
+    merged = spec.merged_factor_dispatch
+    if Va:
+        tk = lambda a: _take_active(spec, a, active)
+        groups[m_X if merged else "warp"] = [
+            (
+                tk(mu_q).reshape(Va * D, m_X),
+                tk(warp_aux.Omega_tril).reshape(Va * D, m_X, m_X),
+                tk(mu_p_w).reshape(Va * D, m_X),
+                jnp.broadcast_to(
+                    tk(warp_aux.Kuu_chol)[:, None], (Va, D, m_X, m_X)
+                ).reshape(Va * D, m_X, m_X),
+            )
+        ]
+    m_G = spec.m_G
     for mod in spec.modalities:
         delta = hp["delta_F"][mod.name]  # (m_G, L)
-        if spec.whitened_variational:
-            kl_F = kl_whitened(
-                jnp.swapaxes(delta, -1, -2), data_aux.Omega_tril[mod.name]
+        L = delta.shape[-1]
+        # Unmerged (model axis shards Omega_sqt_F): each modality solves in
+        # its own uniformly-sharded dispatch — mixed-sharding slabs make the
+        # SPMD partitioner leak NaN gradients (see compute_factors).
+        groups.setdefault(m_G if merged else ("data", mod.name), []).append(
+            (
+                jnp.swapaxes(delta, -1, -2),  # (L, m_G)
+                data_aux.Omega_tril[mod.name],  # (L, m_G, m_G)
+                jnp.zeros((L, m_G), delta.dtype),
+                jnp.broadcast_to(data_aux.Kuu_chol, (L, m_G, m_G)),
             )
-        else:
-            kl_F = kl_mvn_chol(
-                jnp.swapaxes(delta, -1, -2),
-                data_aux.Omega_tril[mod.name],
-                jnp.zeros(spec.m_G, delta.dtype),
-                data_aux.Kuu_chol,
-            )
-        KL = KL + jnp.sum(kl_F)
+        )
+    KL = jnp.zeros(())
+    for size, entries in groups.items():
+        mu_q_s = jnp.concatenate([e[0] for e in entries], axis=0)
+        Om_s = jnp.concatenate([e[1] for e in entries], axis=0)
+        mu_p_s = jnp.concatenate([e[2] for e in entries], axis=0)
+        Lp_s = jnp.concatenate([e[3] for e in entries], axis=0)
+        KL = KL + jnp.sum(kl_mvn_chol(mu_q_s, Om_s, mu_p_s, Lp_s))
     return KL
 
 

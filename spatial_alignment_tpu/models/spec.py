@@ -102,6 +102,16 @@ class ModelSpec:
     #     SVGP optimization pathologies. Implies the factor is read as a
     #     lower-triangular Cholesky (like triangular_variational).
     whitened_variational: bool = False
+    # Merge every same-sized per-step factorization / KL solve into single
+    # batched dispatches (compute_factors / kl_divergence) — the m=200 step
+    # is latency-bound on dispatch count, not FLOPs. parallel.distribute()
+    # clears this when the model axis shards the variational state: a single
+    # batched op whose lanes carry different shardings (replicated Grams +
+    # model-sharded Omega_sqt_F) makes the SPMD partitioner emit NaN into
+    # the zero-weight lanes' gradients (observed on the (4,2) virtual mesh),
+    # and would force per-step reshard collectives anyway. Unmerged lanes
+    # are bit-identical, just more dispatches.
+    merged_factor_dispatch: bool = True
 
     # ---- derived helpers -------------------------------------------------
     @property

@@ -335,11 +335,20 @@ def kl_mvn_chol(
               - k + log|Sp| - log|Sq| ]
     """
     k = mu_q.shape[-1]
-    # tr(Sp^-1 Sq) = |Lp^-1 Lq|_F^2
-    m = tri_solve(chol_p, chol_q)
-    trace_term = jnp.sum(jnp.square(m), axis=(-2, -1))
-    # quadratic term via one triangular solve
+    # One triangular solve for both terms: stack Lq and the mean difference
+    # along the RHS columns (same Lp). tr(Sp^-1 Sq) = |Lp^-1 Lq|_F^2 and the
+    # quadratic term is |Lp^-1 (mu_p - mu_q)|^2.
     diff = (mu_p - mu_q)[..., :, None]
-    quad = jnp.sum(jnp.square(tri_solve(chol_p, diff)), axis=(-2, -1))
+    batch = jnp.broadcast_shapes(chol_q.shape[:-2], diff.shape[:-2])
+    rhs = jnp.concatenate(
+        [
+            jnp.broadcast_to(chol_q, batch + chol_q.shape[-2:]),
+            jnp.broadcast_to(diff, batch + diff.shape[-2:]),
+        ],
+        axis=-1,
+    )
+    sol = tri_solve(chol_p, rhs)
+    trace_term = jnp.sum(jnp.square(sol[..., :k]), axis=(-2, -1))
+    quad = jnp.sum(jnp.square(sol[..., k:]), axis=(-2, -1))
     logdet = chol_logdet(chol_p) - chol_logdet(chol_q)
     return 0.5 * (trace_term + quad - k + logdet)

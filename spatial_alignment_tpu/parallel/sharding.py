@@ -22,6 +22,7 @@ fused ELBO graph and inserts the (single) gradient all-reduce.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Optional
 
 import numpy as np
@@ -94,6 +95,16 @@ def distribute(model, mesh: Mesh):
     propagates the committed input shardings and inserts the gradient
     all-reduce over ICI. Returns the model (mutated in place).
     """
+    n_model = mesh.shape[MODEL_AXIS]
+    if n_model > 1 and any(
+        mod.n_latent % n_model == 0 for mod in model.spec.modalities
+    ):
+        # The variational state shards over the model axis: disable the
+        # merged factorization/KL dispatches — a single batched op whose
+        # lanes mix replicated and model-sharded state makes the SPMD
+        # partitioner leak NaN into zero-weight lanes' gradients and would
+        # force per-step reshard collectives (spec.merged_factor_dispatch).
+        model.spec = dataclasses.replace(model.spec, merged_factor_dispatch=False)
     p_sh = param_shardings(model.spec, model.params, mesh)
     b_sh = batch_shardings(model.spec, mesh)
     model.params = jax.tree.map(jax.device_put, model.params, p_sh)

@@ -423,3 +423,39 @@ def test_distributed_fit_minibatch_runs_and_improves():
         jax.random.PRNGKey(1), 3,
     ))
     assert e1 < e0 - 1.0
+
+
+def test_model_sharded_grads_finite_including_fixed_view():
+    """Regression: with the variational state sharded over the model axis,
+    the fixed (template) view's dead parameters must get exactly-zero
+    gradients, not NaN. A single batched Cholesky/solve whose lanes mixed
+    replicated Grams with model-sharded Omega_sqt_F made the SPMD
+    partitioner emit NaN into the zero-weight lanes (distribute() now
+    clears spec.merged_factor_dispatch to keep the slabs uniform)."""
+    data = make_two_view_data(n_per_view=16, n_outputs=4)
+    kw = dict(m_X_per_view=8, m_G=8, n_latent_gps={"expression": 2},
+              fixed_view_idx=0, seed=0)
+    m_single = sat.VariationalGPSA(data, **kw)
+    m_shard = sat.VariationalGPSA(data, pad_multiple=4, **kw)
+    distribute(m_shard, make_mesh(8, model_parallel=2))
+    assert not m_shard.spec.merged_factor_dispatch
+    assert m_single.spec.merged_factor_dispatch  # single-device keeps merge
+
+    def loss(model):
+        def f(p):
+            return core.negative_elbo(
+                model.spec, p, model.consts, model._batch,
+                jax.random.PRNGKey(0), 2,
+            )
+        return jax.jit(jax.value_and_grad(f))(model.params)
+
+    l_s, g_s = loss(m_single)
+    l_d, g_d = loss(m_shard)
+    np.testing.assert_allclose(float(l_s), float(l_d), rtol=2e-4)
+    for path, arr in jax.tree_util.tree_flatten_with_path(g_d)[0]:
+        assert np.isfinite(np.asarray(arr)).all(), jax.tree_util.keystr(path)
+    # dead (fixed-view) lanes: exactly zero, matching single-device
+    np.testing.assert_array_equal(np.asarray(g_d["Xtilde"][0]), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(g_d["warp_kernel_lengthscales"])[0], 0.0
+    )
