@@ -172,3 +172,35 @@ def test_compute_factors_matches_primitives(rng, spec_kw):
         np.testing.assert_array_equal(
             np.asarray(fp.data_Om_tril[mod]), np.asarray(want)
         )
+
+
+@pytest.mark.parametrize("fixed_view_idx", [None, 0])
+def test_unmerged_dispatch_elbo_matches_merged(rng, fixed_view_idx):
+    """spec.merged_factor_dispatch=False (the distributed layout) computes the
+    same ELBO and gradients as the merged single-chip default. Per-lane math
+    is bit-identical; only the KL's sum-over-terms grouping differs, so the
+    comparison is float-tight rather than bitwise."""
+    import dataclasses
+
+    model = _tiny_model(rng, fixed_view_idx=fixed_view_idx)
+    spec_m = model.spec
+    spec_u = dataclasses.replace(spec_m, merged_factor_dispatch=False)
+    key = jax.random.PRNGKey(11)
+
+    def loss(spec, p):
+        return core.negative_elbo(spec, p, model.consts, model._batch, key, 3)
+
+    lm, gm = jax.value_and_grad(lambda p: loss(spec_m, p))(model.params)
+    lu, gu = jax.value_and_grad(lambda p: loss(spec_u, p))(model.params)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lu), rtol=1e-6)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gm)[0],
+        jax.tree_util.tree_flatten_with_path(gu)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a),
+            np.asarray(b),
+            rtol=5e-5,
+            atol=1e-6 * max(1.0, float(np.abs(np.asarray(a)).max())),
+            err_msg=jax.tree_util.keystr(pa),
+        )
