@@ -73,3 +73,28 @@ def test_spec_is_hashable_static_arg():
     spec = build_spec(dd, m_X_per_view=3, m_G=3)
     assert hash(spec) == hash(spec.replace())
     assert spec != spec.replace(m_G=5)
+
+
+def test_spec_dict_round_trip_and_old_checkpoint_compat():
+    """spec_to_dict/spec_from_dict round-trips every field (checkpoints embed
+    the dict), and a dict from an older checkpoint that predates
+    merged_factor_dispatch loads with the default (True)."""
+    import dataclasses
+
+    from spatial_alignment_tpu.models.spec import spec_to_dict, spec_from_dict
+    from conftest import make_two_view_data
+    import spatial_alignment_tpu as sat
+
+    data = make_two_view_data()
+    model = sat.VariationalGPSA(
+        data, m_X_per_view=6, m_G=6, n_latent_gps={"expression": 2},
+        fixed_view_idx=0, triangular_variational=True,
+    )
+    spec = dataclasses.replace(model.spec, merged_factor_dispatch=False)
+    d = spec_to_dict(spec)
+    assert d["merged_factor_dispatch"] is False
+    assert spec_from_dict(d) == spec
+
+    d_old = dict(d)
+    del d_old["merged_factor_dispatch"]  # pre-field checkpoint manifest
+    assert spec_from_dict(d_old).merged_factor_dispatch is True
