@@ -99,6 +99,20 @@ def parse_trace(tracedir):
         for pid, name in pid_names.items()
         if ("TPU" in name or "Device" in name.title()) and "Host" not in name
     }
+    if not device_pids:
+        # Fallback for backends whose process naming differs (e.g. the axon
+        # remote-compile tunnel): any track carrying fusion/dot/cholesky-named
+        # complete events is a device track.
+        oplike = re.compile(r"fusion|dot|cholesky|triangular|copy|rng", re.I)
+        for drop_host in (True, False):  # last resort: CPU backend = host track
+            device_pids = {
+                ev["pid"]
+                for ev in events
+                if ev.get("ph") == "X" and oplike.search(ev.get("name", ""))
+                and not (drop_host and "Host" in pid_names.get(ev.get("pid"), ""))
+            }
+            if device_pids:
+                break
     op_time = defaultdict(float)
     op_count = defaultdict(int)
     total = 0.0
@@ -159,7 +173,7 @@ def main():
         "device_total_us_per_step": total / args.steps,
         "category_shares": {
             k: v / total for k, v in sorted(cat_time.items(), key=lambda kv: -kv[1])
-        },
+        } if total else {},
         "top_ops": [
             {
                 "name": n,
