@@ -61,21 +61,42 @@ def build_model(n_spots, m, seed=0, **kw):
     return model
 
 
-_CATEGORIES = [
-    ("cholesky", re.compile(r"cholesky", re.I)),
-    ("triangular_solve", re.compile(r"triangular|trsm", re.I)),
-    ("dot/matmul", re.compile(r"^(fusion.*)?(dot|convolution)|^dot|gemm", re.I)),
-    ("rng", re.compile(r"rng|threefry|philox|rbg", re.I)),
-    ("scan_overhead", re.compile(r"while|copy|tuple|bitcast", re.I)),
-    ("fusion_other", re.compile(r"^(loop_)?fusion", re.I)),
-]
+def categorize(name, long_name="", hlo_category=""):
+    """Bucket a device op by its trace-metadata ``hlo_category`` plus the
+    custom_call_target for custom-calls (TPU lowers cholesky to blocked
+    "Cholesky" panels and triangular_solve to
+    "InvertDiagBlocksLowerTriangular" + block matmuls)."""
+    if hlo_category == "custom-call":
+        m = re.search(r'custom_call_target="([^"]+)"', long_name)
+        tgt = m.group(1) if m else ""
+        if "Cholesky" in tgt:
+            return "cholesky"
+        if "Triangular" in tgt or "triangular" in tgt:
+            return "triangular_solve"
+        if tgt == "tpu_custom_call":
+            return "pallas_kernel"
+        return "formatting(custom-call)"
+    if hlo_category == "convolution fusion":
+        return "dot/matmul"
+    if hlo_category in ("loop fusion", "custom fusion", "non-fusion elementwise",
+                        "output fusion", "input fusion"):
+        if re.search(r"rng|threefry|philox|rbg", name, re.I):
+            return "rng"
+        return "elementwise_fusion"
+    if hlo_category in ("data formatting", "copy-start", "copy-done", "copy",
+                        "slice", "dynamic-slice", "dynamic-update-slice",
+                        "broadcast", "pad", "bitcast", "reshape", "transpose",
+                        "async-start", "async-done"):
+        return "copy/formatting"
+    if "reduce" in hlo_category:
+        return "reduce"
+    return hlo_category or "other"
 
 
-def categorize(name):
-    for cat, pat in _CATEGORIES:
-        if pat.search(name):
-            return cat
-    return "other"
+# Container / non-op spans that nest real ops inside them; counting them
+# would double every microsecond (the round-3 parse bug: "while.94" +
+# "jit_scan_loop" + the bare step-number track each re-counted the step).
+_CONTAINER = re.compile(r"^while|^jit_|^\d+$|^conditional", re.I)
 
 
 def parse_trace(tracedir):
@@ -115,16 +136,27 @@ def parse_trace(tracedir):
                 break
     op_time = defaultdict(float)
     op_count = defaultdict(int)
+    op_long = {}
+    op_cat = {}
     total = 0.0
     for ev in events:
         if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
             continue
         name = ev.get("name", "")
+        args = ev.get("args", {}) or {}
+        cat = args.get("hlo_category", "")
+        # Skip container spans (while loops, jit entry markers, the bare
+        # step-number track) — their children are counted individually.
+        if cat in ("while", "conditional") or _CONTAINER.match(name):
+            continue
         dur = float(ev.get("dur", 0.0))  # microseconds
         op_time[name] += dur
         op_count[name] += 1
+        if name not in op_long and "long_name" in args:
+            op_long[name] = args["long_name"][:300]
+        op_cat.setdefault(name, cat)
         total += dur
-    return op_time, op_count, total, pid_names
+    return op_time, op_count, op_long, op_cat, total, pid_names
 
 
 def main():
@@ -155,10 +187,10 @@ def main():
         carry, losses = loop(carry, args.steps)
         losses.block_until_ready()
 
-    op_time, op_count, total, pid_names = parse_trace(tracedir)
+    op_time, op_count, op_long, op_cat, total, pid_names = parse_trace(tracedir)
     cat_time = defaultdict(float)
     for name, t in op_time.items():
-        cat_time[categorize(name)] += t
+        cat_time[categorize(name, op_long.get(name, ""), op_cat.get(name, ""))] += t
     top = sorted(op_time.items(), key=lambda kv: -kv[1])[:40]
     record = {
         "config": {
@@ -180,6 +212,7 @@ def main():
                 "us_per_step": t / args.steps,
                 "share": t / total,
                 "count_per_step": op_count[n] / args.steps,
+                "hlo": op_long.get(n, ""),
             }
             for n, t in top
         ],
@@ -191,8 +224,8 @@ def main():
     print(json.dumps({k: record[k] for k in ("steps_per_sec_untraced", "device_total_us_per_step")}))
     for k, v in record["category_shares"].items():
         print(f"{k:20s} {v:6.1%}")
-    for o in record["top_ops"][:15]:
-        print(f"{o['share']:6.1%} {o['us_per_step']:9.1f}us x{o['count_per_step']:5.1f}  {o['name'][:90]}")
+    for o in record["top_ops"][:20]:
+        print(f"{o['share']:6.1%} {o['us_per_step']:9.1f}us x{o['count_per_step']:5.1f}  {o['name'][:40]:40s} {o['hlo'][:100]}")
 
 
 if __name__ == "__main__":
