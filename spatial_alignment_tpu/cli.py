@@ -102,6 +102,7 @@ def _build_model(args, data_dict):
         fixed_view_idx=args.template,
         seed=args.seed,
         triangular_variational=args.triangular,
+        svgp_solve_mode=args.solve_mode,
         whitened_variational=args.whitened,
         analytic_data_likelihood=args.analytic,
         data_chunk_size=args.data_chunk_size,
@@ -313,6 +314,10 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
                     "steps; posterior expressed relative to the prior)")
     ap.add_argument("--analytic", action="store_true",
                     help="closed-form data-layer expected log-likelihood")
+    ap.add_argument("--solve-mode", default="auto",
+                    choices=["auto", "solve", "kl_inverse", "inverse"],
+                    help="how Kuu^-1 is applied (auto: kl_inverse at scale; "
+                    "inverse = fastest, measured converged-accuracy cost)")
     ap.add_argument("--data-chunk-size", type=int, default=None)
     ap.add_argument("--out", required=True, help="output directory")
 

@@ -35,6 +35,7 @@ from ..ops.linalg import (
     joint_factor_cholesky,
     kl_mvn_chol,
     kl_whitened,
+    tri_inverse,
     tri_solve,
 )
 from ..ops.pallas_gram import gram
@@ -52,6 +53,7 @@ class WarpAux(NamedTuple):
     Kuu_chol: jnp.ndarray  # (V, m_X, m_X)
     Omega_tril: jnp.ndarray  # (V, D, m_X, m_X)
     mu_z: jnp.ndarray  # (V, m_X, D)
+    Kuu_inv: Optional[jnp.ndarray] = None  # (V, m_X, m_X) — inverse mode only
 
 
 class DataAux(NamedTuple):
@@ -59,6 +61,7 @@ class DataAux(NamedTuple):
 
     Kuu_chol: jnp.ndarray  # (m_G, m_G)
     Omega_tril: Dict[str, jnp.ndarray]  # {mod: (L, m_G, m_G)}
+    Kuu_inv: Optional[jnp.ndarray] = None  # (m_G, m_G) — inverse mode only
 
 
 class ForwardResult(NamedTuple):
@@ -88,6 +91,8 @@ def svgp_mean_var(
     diagonal_offset: float,
     matmul_precision: str = "highest",
     whitened: bool = False,
+    solve_mode: str = "solve",
+    Kuu_inv: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SVGP marginal posterior at the Kuf columns.
 
@@ -107,15 +112,44 @@ def svgp_mean_var(
     triangular solve instead of cholesky_solve's two, and ``mu_z`` is unused
     (the prior mean cancels). diag(Kfu Kuu^-1 Kuf) = sum(B^T ** 2) comes for
     free from the same B.
+
+    ``solve_mode="inverse"`` applies Kuu^-1 through the explicit triangular
+    inverse (one width-m solve, then f32 MXU matmuls) instead of width-N
+    triangular solves — the TPU win at N >> m (see ModelSpec.svgp_solve_mode).
+    ``Kuu_inv`` supplies a precomputed chol(Kuu)^-1 (e.g. from the shared
+    :func:`compute_factors` pass) so no solve runs here at all.
     """
+    inverse = solve_mode == "inverse"
+    if inverse:
+        # (..., m, m) — the step's only block-loop solve, unless shared
+        Linv = Kuu_inv if Kuu_inv is not None else tri_inverse(Kuu_chol)
     if whitened:
-        B_w = tri_solve(Kuu_chol, Kuf)  # (..., m, N) — the only solve
+        if inverse:
+            with jax.default_matmul_precision("highest"):
+                B_w = Linv @ Kuf  # (..., m, N)
+        else:
+            B_w = tri_solve(Kuu_chol, Kuf)  # (..., m, N) — the only solve
         alphaT = jnp.swapaxes(B_w, -1, -2)  # (..., N, m)
         aKa = jnp.sum(jnp.square(alphaT), axis=-1)  # (..., N)
         with jax.default_matmul_precision(matmul_precision):
             mu_tilde = mu_x + alphaT @ delta  # (..., N, C)
             a_t_Om = jnp.expand_dims(alphaT, -3) @ Omega_tril  # (..., B, N, m)
+    elif inverse:
+        with jax.default_matmul_precision("highest"):
+            half = Linv @ Kuf  # (..., m, N) = L^-1 Kuf
+            # alpha^T = Kfu Kuu^-1 = (L^-1 Kuf)^T L^-1
+            alphaT = jnp.swapaxes(half, -1, -2) @ Linv  # (..., N, m)
+        # diag(Kfu Kuu^-1 Kuf) = column norms of L^-1 Kuf — no extra matmul
+        # (the solve path needs alpha^T L to recover the same quantity).
+        aKa = jnp.sum(jnp.square(half), axis=-2)  # (..., N)
+        with jax.default_matmul_precision(matmul_precision):
+            mu_tilde = mu_x + alphaT @ (delta - mu_z)  # (..., N, C)
+            a_t_Om = jnp.expand_dims(alphaT, -3) @ Omega_tril  # (..., B, N, m)
     else:
+        # (Flattening the S batch into the RHS width when the factor is
+        # shared — one diag-block inversion instead of S — was measured and
+        # rejected: the moveaxis transposes on the (S, m, N) tensor cost ~5%
+        # of the m=200 step, more than the saved duplicate inversions.)
         alpha = cholesky_solve(Kuu_chol, Kuf)  # (..., m, N)
         alphaT = jnp.swapaxes(alpha, -1, -2)  # (..., N, m)
         with jax.default_matmul_precision(matmul_precision):
@@ -153,6 +187,11 @@ class FactorPass(NamedTuple):
     warp_Om_tril: jnp.ndarray  # (Va, D, m_X, m_X)
     data_Kuu_chol: jnp.ndarray  # (m_G, m_G)
     data_Om_tril: Dict[str, jnp.ndarray]  # {mod: (L, m_G, m_G)}
+    # Explicit chol(Kuu)^-1, filled in the "kl_inverse"/"inverse" solve
+    # modes (one more merged batched dispatch; shared by the KL and — in
+    # "inverse" mode — the SVGP predictive).
+    warp_Kuu_inv: Optional[jnp.ndarray] = None  # (Va, m_X, m_X)
+    data_Kuu_inv: Optional[jnp.ndarray] = None  # (m_G, m_G)
 
 
 def _active_views(spec: ModelSpec):
@@ -194,6 +233,21 @@ def _split_sizes(sizes, slab):
     return parts
 
 
+def _kuu_inverses(spec: ModelSpec, L_w, L_d, Va: int, m_X: int, m_G: int):
+    """(warp, data) explicit Kuu-Cholesky inverses for inverse solve mode,
+    merged into one batched tri_inverse dispatch when the sizes match.
+    The Kuu factors are replicated under distribute(), so the merge is safe
+    even when merged_factor_dispatch is cleared (that guard is about the
+    model-sharded Omega lanes)."""
+    if spec.svgp_solve_mode not in ("inverse", "kl_inverse"):
+        return None, None
+    if m_X == m_G and Va > 0:
+        inv = tri_inverse(jnp.concatenate([L_w, L_d[None]], axis=0))
+        return inv[:Va], inv[Va]
+    inv_w = tri_inverse(L_w) if Va else None
+    return inv_w, tri_inverse(L_d)
+
+
 def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
     """One batched factorization pass over all of the step's m x m matrices.
 
@@ -233,7 +287,8 @@ def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
         else:
             L_w = jittered_cholesky(Kuu_w, eps) if Va else Kuu_w
             L_d = jittered_cholesky(Kuu_d, eps)
-        return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril)
+        inv_w, inv_d = _kuu_inverses(spec, L_w, L_d, Va, m_X, m_G)
+        return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril, inv_w, inv_d)
 
     Om_w_flat = Om_w_sqt.reshape(Va * D, m_X, m_X)
     if not spec.merged_factor_dispatch:
@@ -254,7 +309,8 @@ def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
             else:
                 L_w, Om_w_tril = Kuu_w, Om_w_sqt
             L_d = jittered_cholesky(Kuu_d, eps)
-        return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril)
+        inv_w, inv_d = _kuu_inverses(spec, L_w, L_d, Va, m_X, m_G)
+        return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril, inv_w, inv_d)
 
     Om_d_flat = jnp.concatenate(om_d_list, axis=0)
     if m_X == m_G and Va > 0:
@@ -276,7 +332,8 @@ def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
         L_d = Lg_d[0]
         Om_d_parts = _split_sizes(om_d_sizes, Lp_d)
     Om_d_tril = dict(zip(mod_names, Om_d_parts))
-    return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril)
+    inv_w, inv_d = _kuu_inverses(spec, L_w, L_d, Va, m_X, m_G)
+    return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril, inv_w, inv_d)
 
 
 def omega_tril(spec: ModelSpec, Om_sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -325,7 +382,7 @@ def warp_layer(
     S: int,
     temperature=1.0,
     noise: Optional[jnp.ndarray] = None,
-    factors: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    factors: Optional[Tuple] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, WarpAux]:
     """Per-view warp GP posterior + S reparameterized samples.
 
@@ -334,12 +391,15 @@ def warp_layer(
     ``noise`` overrides the internal (S, V, Ntot, D) standard-normal draw
     (used by the shard_map executor to keep shards bit-identical to the
     single-device program). ``factors`` supplies the active views'
-    (Kuu_chol (Va, m, m), Om_tril (Va, D, m, m)) from a shared
-    :func:`compute_factors` pass; None computes them here (same math).
+    (Kuu_chol (Va, m, m), Om_tril (Va, D, m, m)[, Kuu_inv (Va, m, m)]) from
+    a shared :func:`compute_factors` pass; None computes them here (same
+    math).
     """
     eps = spec.diagonal_offset
     active = _active_views(spec)
     Va = len(active)
+    inverse_mode = spec.svgp_solve_mode in ("inverse", "kl_inverse")
+    Linv_a = None
     if factors is None and Va:
         Kuu_w, Om_w_sqt = _warp_grams(spec, hp, active)
         if spec.triangular_variational or spec.whitened_variational:
@@ -351,10 +411,16 @@ def warp_layer(
                 Kuu_w, Om_w_sqt.reshape(Va * spec.n_spatial_dims, m_X, m_X), eps
             )
             Om_a = Om_flat.reshape(Om_w_sqt.shape)
+        if inverse_mode:
+            Linv_a = tri_inverse(L_a)
     elif factors is not None:
-        L_a, Om_a = factors
+        L_a, Om_a = factors[0], factors[1]
+        if len(factors) > 2:
+            Linv_a = factors[2]
+        if inverse_mode and Linv_a is None and Va:
+            Linv_a = tri_inverse(L_a)
 
-    def one_view(Xt, Xv, ls, var, slope, intercept, L, Om_tril_v, delta):
+    def one_view(Xt, Xv, ls, var, slope, intercept, L, Om_tril_v, delta, Linv):
         Kuf = gram(Xt, Xv, ls, var, spec.kernel_warp)  # (m, Ntot); pallas at scale
         mu_x = Xv @ slope + intercept  # (Ntot, D)
         mu_z = Xt @ slope + intercept  # (m, D)
@@ -363,6 +429,8 @@ def warp_layer(
             kff, Kuf, L, mu_x, mu_z, delta, Om_tril_v, eps,
             matmul_precision=spec.svgp_matmul_precision,
             whitened=spec.whitened_variational,
+            solve_mode=spec.svgp_solve_mode,
+            Kuu_inv=Linv,
         )
         return mu_t, sig, mu_z
 
@@ -377,8 +445,9 @@ def warp_layer(
             L_a,
             Om_a,
             hp["delta_G"],
+            Linv_a,
         )
-        Kuu_chol, Om_tril = L_a, Om_a
+        Kuu_chol, Om_tril, Kuu_inv = L_a, Om_a, Linv_a
     else:
         # Fixed (template) views: every one_view output is discarded — the
         # mean/samples are overwritten with X_all below and the KL rows are
@@ -396,6 +465,7 @@ def warp_layer(
         sigma = jnp.ones((V, D, Ntot), dt)
         Kuu_chol = jnp.broadcast_to(eye_m, (V, m, m))
         Om_tril = jnp.broadcast_to(eye_m, hp["Omega_sqt_G"].shape)
+        Kuu_inv = jnp.broadcast_to(eye_m, (V, m, m)) if inverse_mode else None
         mu_z = jnp.zeros((V, m, D), dt)
         if active:
             mu_a, sig_a, muz_a = jax.vmap(one_view)(
@@ -408,11 +478,14 @@ def warp_layer(
                 L_a,
                 Om_a,
                 take(hp["delta_G"]),
+                Linv_a,
             )
             mu_tilde = mu_tilde.at[idx].set(mu_a)
             sigma = sigma.at[idx].set(sig_a)
             Kuu_chol = Kuu_chol.at[idx].set(L_a)
             Om_tril = Om_tril.at[idx].set(Om_a)
+            if inverse_mode:
+                Kuu_inv = Kuu_inv.at[idx].set(Linv_a)
             mu_z = mu_z.at[idx].set(muz_a)
     # mu_tilde: (V, Ntot, D); sigma: (V, D, Ntot) -> (V, Ntot, D)
     sigma = jnp.swapaxes(sigma, -1, -2)
@@ -438,7 +511,7 @@ def warp_layer(
         mu_tilde = jnp.where(fixed, X_all, mu_tilde)
         samples = jnp.where(fixed[None], X_all[None], samples)
 
-    return mu_tilde, samples, WarpAux(Kuu_chol, Om_tril, mu_z)
+    return mu_tilde, samples, WarpAux(Kuu_chol, Om_tril, mu_z, Kuu_inv)
 
 
 # ---------------------------------------------------------------------------
@@ -490,7 +563,7 @@ def data_layer(
     G_samples: Dict[str, jnp.ndarray],  # {mod: (S, V, Np, D)}
     key: jax.Array,
     noise: Optional[Dict[str, jnp.ndarray]] = None,  # {mod: (S, V*Np, L)}
-    factors: Optional[Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]] = None,
+    factors: Optional[Tuple] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], DataAux]:
     """Multi-output data GP evaluated at the sampled aligned coordinates.
 
@@ -502,7 +575,14 @@ def data_layer(
     ls = hp["data_kernel_lengthscale"]
     var = hp["data_kernel_variance"]
 
-    L_F, Om_tril_by_mod = factors if factors is not None else _data_factors(spec, hp)
+    if factors is not None:
+        L_F, Om_tril_by_mod = factors[0], factors[1]
+        Linv_F = factors[2] if len(factors) > 2 else None
+    else:
+        L_F, Om_tril_by_mod = _data_factors(spec, hp)
+        Linv_F = None
+    if spec.svgp_solve_mode in ("inverse", "kl_inverse") and Linv_F is None:
+        Linv_F = tri_inverse(L_F)
 
     F_latent, F_obs, Om_tril_F = {}, {}, {}
     keys = jax.random.split(key, spec.n_modalities)
@@ -530,6 +610,8 @@ def data_layer(
                 kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps,
                 matmul_precision=spec.svgp_matmul_precision,
                 whitened=spec.whitened_variational,
+                solve_mode=spec.svgp_solve_mode,
+                Kuu_inv=Linv_F,
             )
             return mu_t + jnp.sqrt(
                 jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)
@@ -555,14 +637,14 @@ def data_layer(
         F_obs[mod.name] = obs.reshape(S, V, Np, mod.n_outputs)
         Om_tril_F[mod.name] = Om_tril
 
-    return F_latent, F_obs, DataAux(L_F, Om_tril_F)
+    return F_latent, F_obs, DataAux(L_F, Om_tril_F, Linv_F)
 
 
 def data_layer_moments(
     spec: ModelSpec,
     hp: dict,
     G_samples: Dict[str, jnp.ndarray],  # {mod: (S, V, Np, D)}
-    factors: Optional[Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]] = None,
+    factors: Optional[Tuple] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], DataAux]:
     """Per-point observed-output moments of the data GP (no sampling).
 
@@ -577,7 +659,14 @@ def data_layer_moments(
     eps = spec.diagonal_offset
     ls = hp["data_kernel_lengthscale"]
     var = hp["data_kernel_variance"]
-    L_F, Om_tril_by_mod = factors if factors is not None else _data_factors(spec, hp)
+    if factors is not None:
+        L_F, Om_tril_by_mod = factors[0], factors[1]
+        Linv_F = factors[2] if len(factors) > 2 else None
+    else:
+        L_F, Om_tril_by_mod = _data_factors(spec, hp)
+        Linv_F = None
+    if spec.svgp_solve_mode in ("inverse", "kl_inverse") and Linv_F is None:
+        Linv_F = tri_inverse(L_F)
 
     mu_obs, var_obs, Om_tril_F = {}, {}, {}
     for mod in spec.modalities:
@@ -594,6 +683,8 @@ def data_layer_moments(
                 kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps,
                 matmul_precision=spec.svgp_matmul_precision,
                 whitened=spec.whitened_variational,
+                solve_mode=spec.svgp_solve_mode,
+                Kuu_inv=Linv_F,
             )
             return mu_t, jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)
 
@@ -617,7 +708,7 @@ def data_layer_moments(
         var_obs[mod.name] = var_o.reshape(S, V, Np, mod.n_outputs)
         Om_tril_F[mod.name] = Om_tril
 
-    return mu_obs, var_obs, DataAux(L_F, Om_tril_F)
+    return mu_obs, var_obs, DataAux(L_F, Om_tril_F, Linv_F)
 
 
 def impute_at(
@@ -660,6 +751,8 @@ def impute_at(
             eps,
             matmul_precision=spec.svgp_matmul_precision,
             whitened=spec.whitened_variational,
+            solve_mode=spec.svgp_solve_mode,
+            Kuu_inv=data_aux.Kuu_inv,
         )
         # mu_t: (n_test, L); sig: (L, n_test)
         noise = jax.random.normal(kk, (S,) + mu_t.shape, mu_t.dtype)
@@ -697,13 +790,13 @@ def forward(
         fp = compute_factors(spec, hp)
         G_mean_all, G_sample_all, warp_aux = warp_layer(
             spec, hp, X_all, k_warp, S, temperature,
-            factors=(fp.warp_Kuu_chol, fp.warp_Om_tril),
+            factors=(fp.warp_Kuu_chol, fp.warp_Om_tril, fp.warp_Kuu_inv),
         )
         G_means = _split_modalities(spec, G_mean_all, axis=1)
         G_samples = _split_modalities(spec, G_sample_all, axis=2)
         F_latent, F_obs, data_aux = data_layer(
             spec, hp, G_samples, k_data,
-            factors=(fp.data_Kuu_chol, fp.data_Om_tril),
+            factors=(fp.data_Kuu_chol, fp.data_Om_tril, fp.data_Kuu_inv),
         )
 
         F_latent_t = F_obs_t = None
@@ -767,6 +860,15 @@ def kl_divergence(
     active = _active_views(spec)
     Va = len(active)
     merged = spec.merged_factor_dispatch
+    # Reuse the explicit Kuu-Cholesky inverses from the factor pass (inverse
+    # solve mode): the KL's prior solve becomes one MXU matmul instead of a
+    # block-loop triangular-solve dispatch. Value parity is float-level, not
+    # bit-exact (tests pin it at ~1e-6 relative).
+    use_inv = (
+        spec.svgp_solve_mode in ("inverse", "kl_inverse")
+        and data_aux.Kuu_inv is not None
+        and (Va == 0 or warp_aux.Kuu_inv is not None)
+    )
     if Va:
         tk = lambda a: _take_active(spec, a, active)
         groups[m_X if merged else "warp"] = [
@@ -777,6 +879,11 @@ def kl_divergence(
                 jnp.broadcast_to(
                     tk(warp_aux.Kuu_chol)[:, None], (Va, D, m_X, m_X)
                 ).reshape(Va * D, m_X, m_X),
+                jnp.broadcast_to(
+                    tk(warp_aux.Kuu_inv)[:, None], (Va, D, m_X, m_X)
+                ).reshape(Va * D, m_X, m_X)
+                if use_inv
+                else None,
             )
         ]
     m_G = spec.m_G
@@ -792,6 +899,9 @@ def kl_divergence(
                 data_aux.Omega_tril[mod.name],  # (L, m_G, m_G)
                 jnp.zeros((L, m_G), delta.dtype),
                 jnp.broadcast_to(data_aux.Kuu_chol, (L, m_G, m_G)),
+                jnp.broadcast_to(data_aux.Kuu_inv, (L, m_G, m_G))
+                if use_inv
+                else None,
             )
         )
     KL = jnp.zeros(())
@@ -800,7 +910,12 @@ def kl_divergence(
         Om_s = jnp.concatenate([e[1] for e in entries], axis=0)
         mu_p_s = jnp.concatenate([e[2] for e in entries], axis=0)
         Lp_s = jnp.concatenate([e[3] for e in entries], axis=0)
-        KL = KL + jnp.sum(kl_mvn_chol(mu_q_s, Om_s, mu_p_s, Lp_s))
+        Lp_inv_s = (
+            jnp.concatenate([e[4] for e in entries], axis=0) if use_inv else None
+        )
+        KL = KL + jnp.sum(
+            kl_mvn_chol(mu_q_s, Om_s, mu_p_s, Lp_s, chol_p_inv=Lp_inv_s)
+        )
     return KL
 
 
@@ -857,12 +972,12 @@ def negative_elbo(
             fp = compute_factors(spec, hp)
             _, G_sample_all, warp_aux = warp_layer(
                 spec, hp, X_all, k_warp, S, temperature,
-                factors=(fp.warp_Kuu_chol, fp.warp_Om_tril),
+                factors=(fp.warp_Kuu_chol, fp.warp_Om_tril, fp.warp_Kuu_inv),
             )
             G_samples = _split_modalities(spec, G_sample_all, axis=2)
             mu_obs, var_obs, data_aux = data_layer_moments(
                 spec, hp, G_samples,
-                factors=(fp.data_Kuu_chol, fp.data_Om_tril),
+                factors=(fp.data_Kuu_chol, fp.data_Om_tril, fp.data_Kuu_inv),
             )
             KL = kl_divergence(spec, hp, warp_aux, data_aux)
             noise_pos = jnp.exp(hp["noise_variance"]) + spec.diagonal_offset
@@ -986,12 +1101,12 @@ def predict_mean(
         fp = compute_factors(spec, hp)
         G_mean_all, _, _ = warp_layer(
             spec, hp, X_all, dummy_key, 1, 0.0,
-            factors=(fp.warp_Kuu_chol, fp.warp_Om_tril),
+            factors=(fp.warp_Kuu_chol, fp.warp_Om_tril, fp.warp_Kuu_inv),
         )
         G_means = _split_modalities(spec, G_mean_all, axis=1)
         G_as_sample = {m: G_means[m][None] for m in spec.modality_names}
         mu_obs, var_obs, _ = data_layer_moments(
-            spec, hp, G_as_sample, factors=(fp.data_Kuu_chol, fp.data_Om_tril)
+            spec, hp, G_as_sample, factors=(fp.data_Kuu_chol, fp.data_Om_tril, fp.data_Kuu_inv)
         )
         return (
             G_means,

@@ -81,6 +81,21 @@ class ModelSpec:
     # resolves to "high" at >= 2000 total points, "highest" below (the spec
     # always stores the resolved value).
     svgp_matmul_precision: str = "highest"
+    # How Kuu^-1 is applied (SVGP predictive + the KL's prior solve):
+    # "solve" = per-use triangular solves (backward-stable;
+    # reference-equivalent); "kl_inverse" = predictive keeps solves, the KL
+    # reuses an explicit chol(Kuu)^-1 (one merged width-m solve per step) so
+    # its prior solve becomes an MXU matmul; "inverse" = the predictive uses
+    # the explicit inverse too. TPU triangular solves are serial block loops
+    # (InvertDiagBlocksLowerTriangular) paid per DISPATCH, so consolidating
+    # them is the win (experiments/out/op_profile_visium.json). "inverse" is
+    # fastest but measured ~4x worse converged alignment at m=200 — the
+    # late-training Gram sits at the f32 conditioning floor and the
+    # predictive mean is hypersensitive there
+    # (experiments/out/solve_mode_convergence_ab.json); build_spec's "auto"
+    # therefore resolves to the accuracy-neutral "kl_inverse" at >= 2000
+    # total points and "solve" below.
+    svgp_solve_mode: str = "solve"
     # Variational covariance parameterization. False (default, reference
     # parity): Omega = Omega_sqt @ Omega_sqt^T + eps*I with a free square
     # factor (vgpsa.py:206-210), costing one m^3 Cholesky per factor per
@@ -195,6 +210,7 @@ def build_spec(
     data_chunk_size=None,
     analytic_data_likelihood: bool = False,
     svgp_matmul_precision: str = "auto",
+    svgp_solve_mode: str = "auto",
     triangular_variational: bool = False,
     whitened_variational: bool = False,
 ) -> ModelSpec:
@@ -253,6 +269,21 @@ def build_spec(
         total_points = sum(sum(m.n_samples) for m in modalities)
         svgp_matmul_precision = "high" if total_points >= 2000 else "highest"
 
+    if svgp_solve_mode == "auto":
+        # The KL's prior solve shares the factor pass's explicit inverse at
+        # scale (accuracy-neutral: the KL is a smooth regularizer and its
+        # inverse form is value-exact to ~1e-6); below the gate the solves
+        # are latency-bound and the backward-stable path costs nothing.
+        # Full "inverse" stays opt-in: measured ~4x converged-alignment cost
+        # at m=200 (experiments/out/solve_mode_convergence_ab.json).
+        total_points = sum(sum(m.n_samples) for m in modalities)
+        svgp_solve_mode = "kl_inverse" if total_points >= 2000 else "solve"
+    if svgp_solve_mode not in ("solve", "kl_inverse", "inverse"):
+        raise ValueError(
+            f"svgp_solve_mode must be 'solve', 'kl_inverse', 'inverse' or "
+            f"'auto', got {svgp_solve_mode!r}"
+        )
+
     if fixed_view_idx is None:
         fixed = tuple(False for _ in range(n_views))
     else:
@@ -283,6 +314,7 @@ def build_spec(
         data_chunk_size=data_chunk_size,
         analytic_data_likelihood=analytic_data_likelihood,
         svgp_matmul_precision=svgp_matmul_precision,
+        svgp_solve_mode=svgp_solve_mode,
         triangular_variational=triangular_variational,
         whitened_variational=whitened_variational,
     )

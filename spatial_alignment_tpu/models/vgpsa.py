@@ -166,6 +166,7 @@ class VariationalGPSA:
         data_chunk_size: Optional[int] = None,
         analytic_data_likelihood: bool = False,
         svgp_matmul_precision: str = "auto",
+        svgp_solve_mode: str = "auto",
         triangular_variational: bool = False,
         whitened_variational: bool = False,
     ):
@@ -190,6 +191,7 @@ class VariationalGPSA:
             data_chunk_size=data_chunk_size,
             analytic_data_likelihood=analytic_data_likelihood,
             svgp_matmul_precision=svgp_matmul_precision,
+            svgp_solve_mode=svgp_solve_mode,
             triangular_variational=triangular_variational,
             whitened_variational=whitened_variational,
         )
@@ -232,6 +234,7 @@ class VariationalGPSA:
             data_chunk_size=data_chunk_size,
             analytic_data_likelihood=analytic_data_likelihood,
             svgp_matmul_precision=svgp_matmul_precision,
+            svgp_solve_mode=svgp_solve_mode,
             triangular_variational=triangular_variational,
             whitened_variational=whitened_variational,
         )

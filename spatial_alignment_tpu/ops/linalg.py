@@ -23,6 +23,7 @@ __all__ = [
     "joint_factor_cholesky",
     "cholesky_solve",
     "tri_solve",
+    "tri_inverse",
     "kl_mvn_chol",
     "kl_whitened",
     "chol_logdet",
@@ -285,6 +286,36 @@ def tri_solve(chol: jnp.ndarray, rhs: jnp.ndarray, *, trans: bool = False) -> jn
     return jsl.solve_triangular(chol, rhs, lower=True, trans=1 if trans else 0)
 
 
+def tri_inverse(chol: jnp.ndarray) -> jnp.ndarray:
+    """Explicit inverse of a lower-triangular factor, batched.
+
+    One m-wide triangular solve against I. TPU lowers every triangular-solve
+    dispatch to a serial block loop (InvertDiagBlocksLowerTriangular + block
+    matmuls) whose diag-block stage costs the same regardless of RHS width,
+    so inverting once and applying L^-1 as MXU matmuls beats scattering
+    per-use solves (profiled: the m=200 step spends ~24% of device time in
+    those block loops, experiments/out/op_profile_visium.json). Error is
+    ~cond(L)*eps instead of the backward-stable solve's bound; the
+    jittered-Cholesky noise floor keeps cond(L) moderate.
+
+    Differentiation is plain autodiff through the solve (one m-wide
+    transpose-solve in the backward). Two "cheaper" variants were measured
+    and REJECTED at the m=200 / 10k-epoch convergence A/B
+    (experiments/out/solve_mode_convergence_ab.json):
+
+      * a matmul-only custom VJP (L_bar = -X^T G X^T with the inexact f32
+        X) degraded converged alignment a further ~15x over the autodiff
+        backward — the gradient noise of applying the inexact inverse twice
+        compounds over training;
+      * one Newton refinement of X (X <- X(2I - LX)) cannot improve the f32
+        residual: the refinement matmuls re-round at the same ~cond(L)*eps
+        floor they try to remove (measured worse).
+    """
+    eye = jnp.eye(chol.shape[-1], dtype=chol.dtype)
+    chol_b, eye = _broadcast_mats(chol, eye)
+    return jsl.solve_triangular(chol_b, eye, lower=True)
+
+
 def cholesky_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = rhs given A = L L^T (parity with torch.cholesky_solve).
 
@@ -326,6 +357,7 @@ def kl_mvn_chol(
     chol_q: jnp.ndarray,
     mu_p: jnp.ndarray,
     chol_p: jnp.ndarray,
+    chol_p_inv: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """KL( N(mu_q, Lq Lq^T) || N(mu_p, Lp Lp^T) ), batched over leading dims.
 
@@ -333,6 +365,10 @@ def kl_mvn_chol(
     builds torch MultivariateNormal objects for this; vgpsa.py:498-530):
       0.5 * [ tr(Sp^-1 Sq) + (mu_p - mu_q)^T Sp^-1 (mu_p - mu_q)
               - k + log|Sp| - log|Sq| ]
+
+    ``chol_p_inv`` (an explicit Lp^-1, e.g. from :func:`tri_inverse` shared
+    with the SVGP predictive) turns the triangular solve into one MXU
+    matmul — no per-KL block-loop dispatch.
     """
     k = mu_q.shape[-1]
     # One triangular solve for both terms: stack Lq and the mean difference
@@ -347,7 +383,10 @@ def kl_mvn_chol(
         ],
         axis=-1,
     )
-    sol = tri_solve(chol_p, rhs)
+    if chol_p_inv is not None:
+        sol = chol_p_inv @ rhs
+    else:
+        sol = tri_solve(chol_p, rhs)
     trace_term = jnp.sum(jnp.square(sol[..., :k]), axis=(-2, -1))
     quad = jnp.sum(jnp.square(sol[..., k:]), axis=(-2, -1))
     logdet = chol_logdet(chol_p) - chol_logdet(chol_q)
