@@ -1,0 +1,57 @@
+"""Small-m (oracle-config) accuracy A/B: solve vs kl_inverse.
+
+The m=200 convergence gate (solve_mode_convergence_ab.py) cleared
+"kl_inverse" at scale; this harness clears it in the OTHER sensitive
+regime — the small-m de-novo oracle config (grid 10, m=50, accurate
+recipe, the setting where jitter_bisect_*.json measured a systematic ~4x
+regression from a 1.3x nugget change). 10 seeds, matched draws: median
+aligned-error ratio kl_inverse/solve = 0.93 (if anything slightly better;
+worst cases comparable), so build_spec's "auto" resolves to "kl_inverse"
+at every size.
+
+Run: python experiments/simulations/solve_mode_smallm_ab.py
+"""
+import sys, json, os, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+import numpy as np, jax
+from spatial_alignment_tpu import VariationalGPSA
+from spatial_alignment_tpu.data import generate_twod_data
+
+rows = []
+for seed in range(10):
+    rng = np.random.default_rng(seed)
+    X, Y, nsl, view_idx = generate_twod_data(
+        2, 30, grid_size=10, n_latent_gps=5, kernel_lengthscale=5.0,
+        kernel_variance=0.5, noise_variance=0.001, fixed_view_idx=0, rng=rng)
+    dd = {"expression": {"spatial_coords": X.astype(np.float32),
+                         "outputs": Y.astype(np.float32), "n_samples_list": nsl}}
+    row = {"seed": seed}
+    for mode in ("solve", "kl_inverse"):
+        m = VariationalGPSA(dd, m_X_per_view=50, m_G=50,
+                            n_latent_gps={"expression": 5},
+                            mean_function="identity_fixed", fixed_view_idx=None,
+                            seed=seed, svgp_solve_mode=mode)
+        t0 = time.time()
+        losses = m.fit(n_epochs=10000, lr=1e-2, S=5, recipe="accurate")
+        dt = time.time()-t0
+        G, _, _ = m.predict({"expression": X.astype(np.float32)})
+        g = G["expression"]
+        err = float(np.mean(np.sum((g[view_idx[0]] - g[view_idx[1]])**2, axis=1)))
+        row[mode] = {"aligned_error": err, "steps_per_sec": 10000/dt,
+                     "finite": bool(np.all(np.isfinite(losses)))}
+    row["ratio"] = row["kl_inverse"]["aligned_error"]/row["solve"]["aligned_error"]
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+rs = [r["ratio"] for r in rows]
+summary = {
+    "config": "2-view 10x10 grids (200 spots), m=50, L=5, de-novo, "
+              "recipe=accurate, 10k epochs, single restart",
+    "rows": rows,
+    "median_ratio_kl_inverse_over_solve": float(np.median(rs)),
+    "solve_median_aligned_error": float(np.median([r["solve"]["aligned_error"] for r in rows])),
+    "kl_inverse_median_aligned_error": float(np.median([r["kl_inverse"]["aligned_error"] for r in rows])),
+}
+out = os.path.join(os.path.dirname(__file__), "..", "out", "solve_mode_smallm_ab.json")
+with open(out, "w") as f:
+    json.dump(summary, f, indent=2)
+print(json.dumps({k: v for k, v in summary.items() if k != "rows"}))

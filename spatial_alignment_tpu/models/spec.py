@@ -89,12 +89,13 @@ class ModelSpec:
     # the explicit inverse too. TPU triangular solves are serial block loops
     # (InvertDiagBlocksLowerTriangular) paid per DISPATCH, so consolidating
     # them is the win (experiments/out/op_profile_visium.json). "inverse" is
-    # fastest but measured ~4x worse converged alignment at m=200 — the
-    # late-training Gram sits at the f32 conditioning floor and the
+    # fastest but measured median 14.6x worse converged alignment at m=200 —
+    # the late-training Gram sits at the f32 conditioning floor and the
     # predictive mean is hypersensitive there
     # (experiments/out/solve_mode_convergence_ab.json); build_spec's "auto"
-    # therefore resolves to the accuracy-neutral "kl_inverse" at >= 2000
-    # total points and "solve" below.
+    # therefore resolves to the accuracy-neutral "kl_inverse" (cleared at
+    # both m=200 and the small-m oracle config, solve_mode_smallm_ab.json).
+    # The dataclass default stays "solve" for old-checkpoint compatibility.
     svgp_solve_mode: str = "solve"
     # Variational covariance parameterization. False (default, reference
     # parity): Omega = Omega_sqt @ Omega_sqt^T + eps*I with a free square
@@ -270,14 +271,15 @@ def build_spec(
         svgp_matmul_precision = "high" if total_points >= 2000 else "highest"
 
     if svgp_solve_mode == "auto":
-        # The KL's prior solve shares the factor pass's explicit inverse at
-        # scale (accuracy-neutral: the KL is a smooth regularizer and its
-        # inverse form is value-exact to ~1e-6); below the gate the solves
-        # are latency-bound and the backward-stable path costs nothing.
-        # Full "inverse" stays opt-in: measured ~4x converged-alignment cost
-        # at m=200 (experiments/out/solve_mode_convergence_ab.json).
-        total_points = sum(sum(m.n_samples) for m in modalities)
-        svgp_solve_mode = "kl_inverse" if total_points >= 2000 else "solve"
+        # The KL's prior solve shares the factor pass's explicit inverse
+        # (accuracy-neutral at convergence in BOTH sensitive regimes:
+        # median error ratio 1.04 at m=200/N=4050 over 10k epochs,
+        # solve_mode_convergence_ab.json, and 0.93 at the small-m de-novo
+        # oracle config, solve_mode_smallm_ab.json) and removes a serial
+        # block-loop dispatch: +7-12% steps/s at both scales. Full
+        # "inverse" stays opt-in: measured median 14.6x converged-alignment
+        # cost at m=200.
+        svgp_solve_mode = "kl_inverse"
     if svgp_solve_mode not in ("solve", "kl_inverse", "inverse"):
         raise ValueError(
             f"svgp_solve_mode must be 'solve', 'kl_inverse', 'inverse' or "
