@@ -61,19 +61,30 @@ def build_model(n_spots, m, seed=0, **kw):
     return model
 
 
-def categorize(name, long_name="", hlo_category=""):
+_NAME_FALLBACK = [
+    # Used when the trace carries no hlo_category metadata (older profilers /
+    # non-TPU backends) — coarse, but better than a flat "other" bucket.
+    ("cholesky", re.compile(r"cholesky", re.I)),
+    ("triangular_solve", re.compile(r"triangular|trsm", re.I)),
+    ("dot/matmul", re.compile(r"dot|convolution|gemm", re.I)),
+    ("rng", re.compile(r"rng|threefry|philox|rbg", re.I)),
+    ("copy/formatting", re.compile(r"copy|bitcast|transpose|tuple|slice", re.I)),
+]
+
+
+def categorize(name, custom_target="", hlo_category=""):
     """Bucket a device op by its trace-metadata ``hlo_category`` plus the
     custom_call_target for custom-calls (TPU lowers cholesky to blocked
     "Cholesky" panels and triangular_solve to
-    "InvertDiagBlocksLowerTriangular" + block matmuls)."""
+    "InvertDiagBlocksLowerTriangular" + block matmuls). ``custom_target``
+    must be extracted from the UNtruncated long_name (parse_trace does) —
+    regexing a truncated prefix misbuckets long-operand custom-calls."""
     if hlo_category == "custom-call":
-        m = re.search(r'custom_call_target="([^"]+)"', long_name)
-        tgt = m.group(1) if m else ""
-        if "Cholesky" in tgt:
+        if "Cholesky" in custom_target:
             return "cholesky"
-        if "Triangular" in tgt or "triangular" in tgt:
+        if "Triangular" in custom_target or "triangular" in custom_target:
             return "triangular_solve"
-        if tgt == "tpu_custom_call":
+        if custom_target == "tpu_custom_call":
             return "pallas_kernel"
         return "formatting(custom-call)"
     if hlo_category == "convolution fusion":
@@ -90,7 +101,12 @@ def categorize(name, long_name="", hlo_category=""):
         return "copy/formatting"
     if "reduce" in hlo_category:
         return "reduce"
-    return hlo_category or "other"
+    if hlo_category:
+        return hlo_category
+    for cat, pat in _NAME_FALLBACK:
+        if pat.search(name):
+            return cat
+    return "other"
 
 
 # Container / non-op spans that nest real ops inside them; counting them
@@ -137,6 +153,7 @@ def parse_trace(tracedir):
     op_time = defaultdict(float)
     op_count = defaultdict(int)
     op_long = {}
+    op_target = {}
     op_cat = {}
     total = 0.0
     for ev in events:
@@ -152,11 +169,20 @@ def parse_trace(tracedir):
         dur = float(ev.get("dur", 0.0))  # microseconds
         op_time[name] += dur
         op_count[name] += 1
-        if name not in op_long and "long_name" in args:
-            op_long[name] = args["long_name"][:300]
-        op_cat.setdefault(name, cat)
+        if "long_name" in args:
+            ln = args["long_name"]
+            if name not in op_long:
+                op_long[name] = ln[:300]
+            # Extract the custom-call target from the FULL long_name before
+            # truncation (operand text can push it past any fixed prefix).
+            if name not in op_target:
+                m = re.search(r'custom_call_target="([^"]+)"', ln)
+                if m:
+                    op_target[name] = m.group(1)
+        if cat:  # don't pin an empty category from a metadata-less event
+            op_cat.setdefault(name, cat)
         total += dur
-    return op_time, op_count, op_long, op_cat, total, pid_names
+    return op_time, op_count, op_long, op_target, op_cat, total, pid_names
 
 
 def main():
@@ -187,10 +213,11 @@ def main():
         carry, losses = loop(carry, args.steps)
         losses.block_until_ready()
 
-    op_time, op_count, op_long, op_cat, total, pid_names = parse_trace(tracedir)
+    (op_time, op_count, op_long, op_target, op_cat, total,
+     pid_names) = parse_trace(tracedir)
     cat_time = defaultdict(float)
     for name, t in op_time.items():
-        cat_time[categorize(name, op_long.get(name, ""), op_cat.get(name, ""))] += t
+        cat_time[categorize(name, op_target.get(name, ""), op_cat.get(name, ""))] += t
     top = sorted(op_time.items(), key=lambda kv: -kv[1])[:40]
     record = {
         "config": {

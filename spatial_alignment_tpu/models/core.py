@@ -241,6 +241,11 @@ def _kuu_inverses(spec: ModelSpec, L_w, L_d, Va: int, m_X: int, m_G: int):
     model-sharded Omega lanes)."""
     if spec.svgp_solve_mode not in ("inverse", "kl_inverse"):
         return None, None
+    if spec.whitened_variational and spec.svgp_solve_mode == "kl_inverse":
+        # The whitened KL has no prior solve (kl_whitened), and the
+        # kl_inverse predictive keeps triangular solves — nothing would
+        # consume the inverses, so don't add the dead block-loop dispatch.
+        return None, None
     if m_X == m_G and Va > 0:
         inv = tri_inverse(jnp.concatenate([L_w, L_d[None]], axis=0))
         return inv[:Va], inv[Va]
@@ -398,7 +403,6 @@ def warp_layer(
     eps = spec.diagonal_offset
     active = _active_views(spec)
     Va = len(active)
-    inverse_mode = spec.svgp_solve_mode in ("inverse", "kl_inverse")
     Linv_a = None
     if factors is None and Va:
         Kuu_w, Om_w_sqt = _warp_grams(spec, hp, active)
@@ -411,13 +415,15 @@ def warp_layer(
                 Kuu_w, Om_w_sqt.reshape(Va * spec.n_spatial_dims, m_X, m_X), eps
             )
             Om_a = Om_flat.reshape(Om_w_sqt.shape)
-        if inverse_mode:
+        if spec.svgp_solve_mode == "inverse":
             Linv_a = tri_inverse(L_a)
     elif factors is not None:
         L_a, Om_a = factors[0], factors[1]
         if len(factors) > 2:
             Linv_a = factors[2]
-        if inverse_mode and Linv_a is None and Va:
+        if spec.svgp_solve_mode == "inverse" and Linv_a is None and Va:
+            # The predictive itself needs Linv here; in kl_inverse mode a
+            # missing inverse just means the KL falls back to solves.
             Linv_a = tri_inverse(L_a)
 
     def one_view(Xt, Xv, ls, var, slope, intercept, L, Om_tril_v, delta, Linv):
@@ -465,7 +471,9 @@ def warp_layer(
         sigma = jnp.ones((V, D, Ntot), dt)
         Kuu_chol = jnp.broadcast_to(eye_m, (V, m, m))
         Om_tril = jnp.broadcast_to(eye_m, hp["Omega_sqt_G"].shape)
-        Kuu_inv = jnp.broadcast_to(eye_m, (V, m, m)) if inverse_mode else None
+        Kuu_inv = (
+            jnp.broadcast_to(eye_m, (V, m, m)) if Linv_a is not None else None
+        )
         mu_z = jnp.zeros((V, m, D), dt)
         if active:
             mu_a, sig_a, muz_a = jax.vmap(one_view)(
@@ -484,7 +492,7 @@ def warp_layer(
             sigma = sigma.at[idx].set(sig_a)
             Kuu_chol = Kuu_chol.at[idx].set(L_a)
             Om_tril = Om_tril.at[idx].set(Om_a)
-            if inverse_mode:
+            if Linv_a is not None:
                 Kuu_inv = Kuu_inv.at[idx].set(Linv_a)
             mu_z = mu_z.at[idx].set(muz_a)
     # mu_tilde: (V, Ntot, D); sigma: (V, D, Ntot) -> (V, Ntot, D)
@@ -581,7 +589,7 @@ def data_layer(
     else:
         L_F, Om_tril_by_mod = _data_factors(spec, hp)
         Linv_F = None
-    if spec.svgp_solve_mode in ("inverse", "kl_inverse") and Linv_F is None:
+    if spec.svgp_solve_mode == "inverse" and Linv_F is None:
         Linv_F = tri_inverse(L_F)
 
     F_latent, F_obs, Om_tril_F = {}, {}, {}
@@ -665,7 +673,7 @@ def data_layer_moments(
     else:
         L_F, Om_tril_by_mod = _data_factors(spec, hp)
         Linv_F = None
-    if spec.svgp_solve_mode in ("inverse", "kl_inverse") and Linv_F is None:
+    if spec.svgp_solve_mode == "inverse" and Linv_F is None:
         Linv_F = tri_inverse(L_F)
 
     mu_obs, var_obs, Om_tril_F = {}, {}, {}

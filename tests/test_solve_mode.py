@@ -2,7 +2,7 @@
 
 "kl_inverse" (the auto default at scale) reuses one width-m inverse for the
 KL's prior solve; opt-in "inverse" also applies it in the SVGP predictive
-(fastest, but measured ~4x worse converged alignment at m=200 —
+(fastest, but measured median 14.6x worse converged alignment at m=200 —
 experiments/out/solve_mode_convergence_ab.json). These tests pin:
 
   * tri_inverse values + its gradient against the autodiff'd solve-vs-I
