@@ -18,8 +18,11 @@ historical epoch-4119 cliff) and compare aligned-view error.
 Modes measured:
   solve      — per-use backward-stable triangular solves (baseline);
   kl_inverse — predictive keeps solves; the KL's prior solve reuses the
-               factor pass's explicit inverse (auto default at scale);
-  inverse    — the SVGP predictive also applies the explicit inverse.
+               factor pass's explicit inverse;
+  mixed      — predictive mean via a narrow (width-C) backward-stable
+               solve; only the variance quadratic forms apply the explicit
+               inverse (no width-N solves anywhere);
+  inverse    — the SVGP predictive applies the explicit inverse throughout.
 
 History pinned by this artifact: the first "inverse" implementation used a
 matmul-only custom VJP (L_bar = -X^T G X^T with the inexact f32 X); it
@@ -52,6 +55,11 @@ def main():
     ap.add_argument("--grid-size", type=int, default=45)
     ap.add_argument("--m", type=int, default=200)
     ap.add_argument(
+        "--modes", nargs="+",
+        default=["solve", "kl_inverse", "mixed", "inverse"],
+        help="first mode is the ratio baseline",
+    )
+    ap.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(__file__), "..", "out", "solve_mode_convergence_ab.json"
@@ -72,7 +80,7 @@ def main():
         dd = {"expression": {"spatial_coords": X, "outputs": Y,
                              "n_samples_list": nsl}}
         row = {"seed": seed, "n_spots": int(X.shape[0])}
-        for mode in ("solve", "kl_inverse", "inverse"):
+        for mode in args.modes:
             model = VariationalGPSA(
                 dd, m_X_per_view=args.m, m_G=args.m,
                 n_latent_gps={"expression": 10}, fixed_view_idx=0,
@@ -91,16 +99,18 @@ def main():
                 "all_finite": bool(np.all(np.isfinite(losses))),
                 "steps_per_sec": args.epochs / dt,
             }
-        for mode in ("kl_inverse", "inverse"):
-            row[f"error_ratio_{mode}_over_solve"] = (
-                row[mode]["aligned_error"] / row["solve"]["aligned_error"]
+        base = args.modes[0]
+        for mode in args.modes[1:]:
+            row[f"error_ratio_{mode}_over_{base}"] = (
+                row[mode]["aligned_error"] / row[base]["aligned_error"]
             )
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    base = args.modes[0]
     med = {
-        mode: float(np.median([r[f"error_ratio_{mode}_over_solve"] for r in rows]))
-        for mode in ("kl_inverse", "inverse")
+        mode: float(np.median([r[f"error_ratio_{mode}_over_{base}"] for r in rows]))
+        for mode in args.modes[1:]
     }
     out = {
         "config": f"2-view {args.grid_size}x{args.grid_size} grids, m={args.m}, "

@@ -1,4 +1,4 @@
-"""Small-m (oracle-config) accuracy A/B: solve vs kl_inverse.
+"""Small-m (oracle-config) accuracy A/B: solve vs kl_inverse vs mixed.
 
 The m=200 convergence gate (solve_mode_convergence_ab.py) cleared
 "kl_inverse" at scale; this harness clears it in the OTHER sensitive
@@ -13,6 +13,7 @@ Run: python experiments/simulations/solve_mode_smallm_ab.py
 """
 import sys, json, os, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+MODES = tuple(sys.argv[1:]) or ("solve", "kl_inverse", "mixed")
 import numpy as np, jax
 from spatial_alignment_tpu import VariationalGPSA
 from spatial_alignment_tpu.data import generate_twod_data
@@ -26,7 +27,7 @@ for seed in range(10):
     dd = {"expression": {"spatial_coords": X.astype(np.float32),
                          "outputs": Y.astype(np.float32), "n_samples_list": nsl}}
     row = {"seed": seed}
-    for mode in ("solve", "kl_inverse"):
+    for mode in MODES:
         m = VariationalGPSA(dd, m_X_per_view=50, m_G=50,
                             n_latent_gps={"expression": 5},
                             mean_function="identity_fixed", fixed_view_idx=None,
@@ -39,18 +40,21 @@ for seed in range(10):
         err = float(np.mean(np.sum((g[view_idx[0]] - g[view_idx[1]])**2, axis=1)))
         row[mode] = {"aligned_error": err, "steps_per_sec": 10000/dt,
                      "finite": bool(np.all(np.isfinite(losses)))}
-    row["ratio"] = row["kl_inverse"]["aligned_error"]/row["solve"]["aligned_error"]
+    for mode in MODES[1:]:
+        row[f"ratio_{mode}"] = row[mode]["aligned_error"]/row[MODES[0]]["aligned_error"]
     rows.append(row)
     print(json.dumps(row), flush=True)
-rs = [r["ratio"] for r in rows]
 summary = {
     "config": "2-view 10x10 grids (200 spots), m=50, L=5, de-novo, "
               "recipe=accurate, 10k epochs, single restart",
     "rows": rows,
-    "median_ratio_kl_inverse_over_solve": float(np.median(rs)),
-    "solve_median_aligned_error": float(np.median([r["solve"]["aligned_error"] for r in rows])),
-    "kl_inverse_median_aligned_error": float(np.median([r["kl_inverse"]["aligned_error"] for r in rows])),
 }
+for mode in MODES[1:]:
+    summary[f"median_ratio_{mode}_over_{MODES[0]}"] = float(
+        np.median([r[f"ratio_{mode}"] for r in rows]))
+for mode in MODES:
+    summary[f"{mode}_median_aligned_error"] = float(
+        np.median([r[mode]["aligned_error"] for r in rows]))
 out = os.path.join(os.path.dirname(__file__), "..", "out", "solve_mode_smallm_ab.json")
 with open(out, "w") as f:
     json.dump(summary, f, indent=2)

@@ -116,11 +116,19 @@ def svgp_mean_var(
     ``solve_mode="inverse"`` applies Kuu^-1 through the explicit triangular
     inverse (one width-m solve, then f32 MXU matmuls) instead of width-N
     triangular solves — the TPU win at N >> m (see ModelSpec.svgp_solve_mode).
+    ``solve_mode="mixed"`` splits by sensitivity: the predictive MEAN is
+    reassociated as mu_x + Kfu (Kuu^-1 (delta - mu_z)) — one backward-stable
+    solve whose RHS is the C output channels instead of the N points — while
+    the variance terms (diag quadratic forms, benign to the inverse's
+    cond*eps relative error) use the explicit inverse as MXU matmuls. No
+    width-N triangular solve runs at all, and alpha^T itself is never
+    formed (Linv folds into the m x m channel factors instead), so mixed is
+    both faster than "inverse" and mean-exact like "solve".
     ``Kuu_inv`` supplies a precomputed chol(Kuu)^-1 (e.g. from the shared
     :func:`compute_factors` pass) so no solve runs here at all.
     """
     inverse = solve_mode == "inverse"
-    if inverse:
+    if inverse or (solve_mode == "mixed" and not whitened):
         # (..., m, m) — the step's only block-loop solve, unless shared
         Linv = Kuu_inv if Kuu_inv is not None else tri_inverse(Kuu_chol)
     if whitened:
@@ -134,6 +142,24 @@ def svgp_mean_var(
         with jax.default_matmul_precision(matmul_precision):
             mu_tilde = mu_x + alphaT @ delta  # (..., N, C)
             a_t_Om = jnp.expand_dims(alphaT, -3) @ Omega_tril  # (..., B, N, m)
+    elif solve_mode == "mixed":
+        with jax.default_matmul_precision("highest"):
+            half = Linv @ Kuf  # (..., m, N) = L^-1 Kuf
+        # diag(Kfu Kuu^-1 Kuf) = column norms of L^-1 Kuf
+        aKa = jnp.sum(jnp.square(half), axis=-2)  # (..., N)
+        # Mean via the narrow (width-C) backward-stable solve, then one
+        # MXU projection — never touches the explicit inverse.
+        v = cholesky_solve(Kuu_chol, delta - mu_z)  # (..., m, C)
+        with jax.default_matmul_precision(matmul_precision):
+            mu_tilde = mu_x + jnp.swapaxes(Kuf, -1, -2) @ v  # (..., N, C)
+        with jax.default_matmul_precision("highest"):
+            # alpha^T Omega_L = (L^-1 Kuf)^T (L^-1 Omega_L): fold Linv into
+            # the m x m channel factors so alpha^T is never materialized.
+            C_om = jnp.expand_dims(Linv, -3) @ Omega_tril  # (..., B, m, m)
+        with jax.default_matmul_precision(matmul_precision):
+            a_t_Om = (
+                jnp.expand_dims(jnp.swapaxes(half, -1, -2), -3) @ C_om
+            )  # (..., B, N, m)
     elif inverse:
         with jax.default_matmul_precision("highest"):
             half = Linv @ Kuf  # (..., m, N) = L^-1 Kuf
@@ -239,9 +265,9 @@ def _kuu_inverses(spec: ModelSpec, L_w, L_d, Va: int, m_X: int, m_G: int):
     The Kuu factors are replicated under distribute(), so the merge is safe
     even when merged_factor_dispatch is cleared (that guard is about the
     model-sharded Omega lanes)."""
-    if spec.svgp_solve_mode not in ("inverse", "kl_inverse"):
+    if spec.svgp_solve_mode not in ("inverse", "kl_inverse", "mixed"):
         return None, None
-    if spec.whitened_variational and spec.svgp_solve_mode == "kl_inverse":
+    if spec.whitened_variational and spec.svgp_solve_mode in ("kl_inverse", "mixed"):
         # The whitened KL has no prior solve (kl_whitened), and the
         # kl_inverse predictive keeps triangular solves — nothing would
         # consume the inverses, so don't add the dead block-loop dispatch.
@@ -415,13 +441,13 @@ def warp_layer(
                 Kuu_w, Om_w_sqt.reshape(Va * spec.n_spatial_dims, m_X, m_X), eps
             )
             Om_a = Om_flat.reshape(Om_w_sqt.shape)
-        if spec.svgp_solve_mode == "inverse":
+        if spec.svgp_solve_mode in ("inverse", "mixed"):
             Linv_a = tri_inverse(L_a)
     elif factors is not None:
         L_a, Om_a = factors[0], factors[1]
         if len(factors) > 2:
             Linv_a = factors[2]
-        if spec.svgp_solve_mode == "inverse" and Linv_a is None and Va:
+        if spec.svgp_solve_mode in ("inverse", "mixed") and Linv_a is None and Va:
             # The predictive itself needs Linv here; in kl_inverse mode a
             # missing inverse just means the KL falls back to solves.
             Linv_a = tri_inverse(L_a)
@@ -589,7 +615,7 @@ def data_layer(
     else:
         L_F, Om_tril_by_mod = _data_factors(spec, hp)
         Linv_F = None
-    if spec.svgp_solve_mode == "inverse" and Linv_F is None:
+    if spec.svgp_solve_mode in ("inverse", "mixed") and Linv_F is None:
         Linv_F = tri_inverse(L_F)
 
     F_latent, F_obs, Om_tril_F = {}, {}, {}
@@ -673,7 +699,7 @@ def data_layer_moments(
     else:
         L_F, Om_tril_by_mod = _data_factors(spec, hp)
         Linv_F = None
-    if spec.svgp_solve_mode == "inverse" and Linv_F is None:
+    if spec.svgp_solve_mode in ("inverse", "mixed") and Linv_F is None:
         Linv_F = tri_inverse(L_F)
 
     mu_obs, var_obs, Om_tril_F = {}, {}, {}
@@ -873,7 +899,7 @@ def kl_divergence(
     # block-loop triangular-solve dispatch. Value parity is float-level, not
     # bit-exact (tests pin it at ~1e-6 relative).
     use_inv = (
-        spec.svgp_solve_mode in ("inverse", "kl_inverse")
+        spec.svgp_solve_mode in ("inverse", "kl_inverse", "mixed")
         and data_aux.Kuu_inv is not None
         and (Va == 0 or warp_aux.Kuu_inv is not None)
     )

@@ -86,7 +86,10 @@ class ModelSpec:
     # reference-equivalent); "kl_inverse" = predictive keeps solves, the KL
     # reuses an explicit chol(Kuu)^-1 (one merged width-m solve per step) so
     # its prior solve becomes an MXU matmul; "inverse" = the predictive uses
-    # the explicit inverse too. TPU triangular solves are serial block loops
+    # the explicit inverse too; "mixed" = the predictive mean is reassociated
+    # through a narrow (width-C) backward-stable solve while only the
+    # variance quadratic forms use the inverse — no width-N solve at all,
+    # mean-exact like "solve". TPU triangular solves are serial block loops
     # (InvertDiagBlocksLowerTriangular) paid per DISPATCH, so consolidating
     # them is the win (experiments/out/op_profile_visium.json). "inverse" is
     # fastest but measured median 14.6x worse converged alignment at m=200 —
@@ -280,10 +283,10 @@ def build_spec(
         # "inverse" stays opt-in: measured median 14.6x converged-alignment
         # cost at m=200.
         svgp_solve_mode = "kl_inverse"
-    if svgp_solve_mode not in ("solve", "kl_inverse", "inverse"):
+    if svgp_solve_mode not in ("solve", "kl_inverse", "inverse", "mixed"):
         raise ValueError(
-            f"svgp_solve_mode must be 'solve', 'kl_inverse', 'inverse' or "
-            f"'auto', got {svgp_solve_mode!r}"
+            f"svgp_solve_mode must be 'solve', 'kl_inverse', 'inverse', "
+            f"'mixed' or 'auto', got {svgp_solve_mode!r}"
         )
 
     if fixed_view_idx is None:

@@ -95,13 +95,14 @@ def test_svgp_mean_var_inverse_matches_solve():
         mode: core.svgp_mean_var(
             kff, Kuf, L, mu_x, mu_z, delta, Om, 1e-5, solve_mode=mode
         )
-        for mode in ("solve", "inverse")
+        for mode in ("solve", "inverse", "mixed")
     }
-    for a, b in zip(out["solve"], out["inverse"]):
-        scale = float(jnp.max(jnp.abs(a)))
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=3e-6 * max(scale, 1.0)
-        )
+    for other in ("inverse", "mixed"):
+        for a, b in zip(out["solve"], out[other]):
+            scale = float(jnp.max(jnp.abs(a)))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-6 * max(scale, 1.0)
+            )
     # Precomputed inverse == internally computed inverse (bit-exact: same ops)
     pre = core.svgp_mean_var(
         kff, Kuf, L, mu_x, mu_z, delta, Om, 1e-5,
@@ -129,7 +130,7 @@ def test_negative_elbo_parity_between_modes(kw):
             data, m_X_per_view=8, m_G=8, n_latent_gps={"expression": 3},
             seed=0, svgp_solve_mode=mode, **kw,
         )
-        for mode in ("solve", "kl_inverse", "inverse")
+        for mode in ("solve", "kl_inverse", "inverse", "mixed")
     }
     key = jax.random.PRNGKey(7)
     vals = {}
@@ -139,7 +140,7 @@ def test_negative_elbo_parity_between_modes(kw):
         vals[mode] = float(f(m.params))
         grads[mode] = jax.tree.leaves(jax.grad(f)(m.params))
     gs = jnp.concatenate([jnp.ravel(g) for g in grads["solve"]])
-    for other in ("kl_inverse", "inverse"):
+    for other in ("kl_inverse", "inverse", "mixed"):
         np.testing.assert_allclose(vals["solve"], vals[other], rtol=1e-4)
         gi = jnp.concatenate([jnp.ravel(g) for g in grads[other]])
         # global-norm relative: per-leaf comparisons amplify f32 noise in
@@ -196,7 +197,8 @@ def test_spec_dict_round_trip_and_old_manifest_compat():
     assert spec_from_dict(d).svgp_solve_mode == "solve"
 
 
-def test_distributed_inverse_mode_matches_single_device():
+@pytest.mark.parametrize("mode", ["inverse", "mixed"])
+def test_distributed_inverse_mode_matches_single_device(mode):
     if len(jax.devices()) < 4:
         pytest.skip("needs the 8-virtual-device CPU mesh")
     from spatial_alignment_tpu.parallel import distribute, make_mesh
@@ -204,7 +206,7 @@ def test_distributed_inverse_mode_matches_single_device():
     data = make_two_view_data(n_per_view=24, n_outputs=4)
     kw = dict(
         m_X_per_view=6, m_G=6, n_latent_gps={"expression": 3}, seed=0,
-        svgp_solve_mode="inverse",
+        svgp_solve_mode=mode,
     )
     m_single = sat.VariationalGPSA(data, **kw)
     m_shard = sat.VariationalGPSA(data, pad_multiple=4, **kw)
@@ -223,3 +225,6 @@ def test_distributed_inverse_mode_matches_single_device():
     for i in range(3):
         params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(i))
         assert np.isfinite(float(loss))
+    assert all(
+        bool(jnp.all(jnp.isfinite(leaf))) for leaf in jax.tree.leaves(params)
+    )
