@@ -79,6 +79,45 @@ class ForwardResult(NamedTuple):
 # SVGP predictive: mean and diagonal variance (parity: vgpsa.py:174-204)
 # ---------------------------------------------------------------------------
 
+# Rematerialize the variance-projection intermediate (alpha^T @ Omega_tril,
+# shape (..., B, N, m)) when it exceeds this many elements. At the real-data
+# config (N=4,050, m=200, S=5, L=10) that tensor is 162 MB and the profiled
+# step spends ~21% of device time writing it out in the forward pass and
+# re-reading it in the VJP (experiments/out/op_profile_visium.json:
+# slice_add_fusion.3 + multiply_reduce_fusion.28). jax.checkpoint keeps the
+# forward from storing it — but the step-level A/B at exactly that config
+# measured remat at 0.91x (281 -> 256 steps/s): the VJP recompute
+# re-materializes the same tensor for its two consumer matmuls, so the
+# round-trip is moved, not removed, and the extra O(B m^2 N) recompute
+# matmul is pure loss. MEASURED AND REJECTED as a default — disabled here
+# (tests force it on via monkeypatch to keep the path correct); truly
+# memory-bound cases are served by spec.data_chunk_size, which bounds the
+# intermediate at the source.
+_REMAT_QUAD_MIN_ELEMS = None  # disabled (int threshold to enable)
+
+
+def _quad_diag(xT: jnp.ndarray, factors: jnp.ndarray, precision: str) -> jnp.ndarray:
+    """Per-point quadratic-form diagonals sum_k (xT @ factors)^2 -> (..., B, N).
+
+    xT is (..., N, m); factors is (B, m, m) (per-channel covariance factors).
+    """
+    with jax.default_matmul_precision(precision):
+        t = jnp.expand_dims(xT, -3) @ factors  # (..., B, N, m)
+    return jnp.sum(jnp.square(t), axis=-1)
+
+
+def _quad_diag_maybe_remat(
+    xT: jnp.ndarray, factors: jnp.ndarray, precision: str
+) -> jnp.ndarray:
+    batch = 1
+    for s in xT.shape[:-2]:
+        batch *= s
+    B = factors.shape[-3]
+    elems = batch * B * xT.shape[-2] * xT.shape[-1]
+    if _REMAT_QUAD_MIN_ELEMS is not None and elems >= _REMAT_QUAD_MIN_ELEMS:
+        return jax.checkpoint(lambda a, f: _quad_diag(a, f, precision))(xT, factors)
+    return _quad_diag(xT, factors, precision)
+
 
 def svgp_mean_var(
     kff_diag: jnp.ndarray,  # (..., N)
@@ -141,7 +180,7 @@ def svgp_mean_var(
         aKa = jnp.sum(jnp.square(alphaT), axis=-1)  # (..., N)
         with jax.default_matmul_precision(matmul_precision):
             mu_tilde = mu_x + alphaT @ delta  # (..., N, C)
-            a_t_Om = jnp.expand_dims(alphaT, -3) @ Omega_tril  # (..., B, N, m)
+        aOa = _quad_diag_maybe_remat(alphaT, Omega_tril, matmul_precision)
     elif solve_mode == "mixed":
         with jax.default_matmul_precision("highest"):
             half = Linv @ Kuf  # (..., m, N) = L^-1 Kuf
@@ -156,10 +195,9 @@ def svgp_mean_var(
             # alpha^T Omega_L = (L^-1 Kuf)^T (L^-1 Omega_L): fold Linv into
             # the m x m channel factors so alpha^T is never materialized.
             C_om = jnp.expand_dims(Linv, -3) @ Omega_tril  # (..., B, m, m)
-        with jax.default_matmul_precision(matmul_precision):
-            a_t_Om = (
-                jnp.expand_dims(jnp.swapaxes(half, -1, -2), -3) @ C_om
-            )  # (..., B, N, m)
+        aOa = _quad_diag_maybe_remat(
+            jnp.swapaxes(half, -1, -2), C_om, matmul_precision
+        )
     elif inverse:
         with jax.default_matmul_precision("highest"):
             half = Linv @ Kuf  # (..., m, N) = L^-1 Kuf
@@ -170,7 +208,7 @@ def svgp_mean_var(
         aKa = jnp.sum(jnp.square(half), axis=-2)  # (..., N)
         with jax.default_matmul_precision(matmul_precision):
             mu_tilde = mu_x + alphaT @ (delta - mu_z)  # (..., N, C)
-            a_t_Om = jnp.expand_dims(alphaT, -3) @ Omega_tril  # (..., B, N, m)
+        aOa = _quad_diag_maybe_remat(alphaT, Omega_tril, matmul_precision)
     else:
         # (Flattening the S batch into the RHS width when the factor is
         # shared — one diag-block inversion instead of S — was measured and
@@ -183,9 +221,8 @@ def svgp_mean_var(
             a_t_K = alphaT @ Kuu_chol
             aKa = jnp.sum(jnp.square(a_t_K), axis=-1)  # (..., N)
             mu_tilde = mu_x + alphaT @ (delta - mu_z)  # (..., N, C)
-            # per-channel: alpha^T Omega_tril, batched over B
-            a_t_Om = jnp.expand_dims(alphaT, -3) @ Omega_tril  # (..., B, N, m)
-    aOa = jnp.sum(jnp.square(a_t_Om), axis=-1)  # (..., B, N)
+        # per-channel: alpha^T Omega_tril, batched over B
+        aOa = _quad_diag_maybe_remat(alphaT, Omega_tril, matmul_precision)
     sigma = (
         jnp.expand_dims(kff_diag, -2)
         - jnp.expand_dims(aKa, -2)

@@ -31,24 +31,38 @@ __all__ = [
 ]
 
 # Which Cholesky implementation the jittered/PSD factorizations use.
-# "xla" (default): jnp.linalg.cholesky. "pallas": the fused batched kernel
-# (ops.pallas_cholesky) for f32 matrices with m >= PALLAS_CHOLESKY_MIN_M
-# and batch >= PALLAS_CHOLESKY_MIN_BATCH; smaller shapes stay on XLA.
-# Trace-time switch: flip it BEFORE building/jitting a model (compiled
-# functions keep whichever implementation they were traced with).
-_CHOLESKY_IMPL = "xla"
+# "auto" (default): the fused batched Pallas kernel (ops.pallas_cholesky) on
+# the TPU backend for f32 slabs with m >= PALLAS_CHOLESKY_MIN_M and batch >=
+# PALLAS_CHOLESKY_MIN_BATCH (measured +18% on the scanned m=50 north-star
+# step, +2.5% at m=200; converged-accuracy parity gated by
+# experiments/out/pallas_cholesky_smallm_ab.json), XLA everywhere else.
+# "xla"/"pallas" force one implementation. Trace-time switch: flip it BEFORE
+# building/jitting a model (compiled functions keep whichever implementation
+# they were traced with). parallel.distribute() forces "xla" when it shards
+# the variational state: pallas_call has no SPMD partitioning rule, so the
+# partitioner would all-gather the model-sharded Omega slabs every step.
+_CHOLESKY_IMPL = "auto"
 
 
 def set_cholesky_impl(impl: str) -> None:
-    """Select 'xla' or 'pallas' for the factorization sites (trace-time)."""
+    """Select 'auto', 'xla' or 'pallas' for the factorization sites
+    (trace-time)."""
     global _CHOLESKY_IMPL
-    if impl not in ("xla", "pallas"):
+    if impl not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown cholesky impl {impl!r}")
     _CHOLESKY_IMPL = impl
 
 
+def get_cholesky_impl() -> str:
+    return _CHOLESKY_IMPL
+
+
 def _chol(mat: jnp.ndarray) -> jnp.ndarray:
-    if _CHOLESKY_IMPL == "pallas" and mat.dtype == jnp.float32:
+    impl = _CHOLESKY_IMPL
+    if impl == "auto":
+        # "axon" = the remote-attached TPU platform; same Mosaic lowering.
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if impl == "pallas" and mat.dtype == jnp.float32:
         from . import pallas_cholesky as _pc
 
         batch = 1

@@ -49,11 +49,17 @@ import jax.scipy.linalg as jsl
 
 __all__ = ["cholesky", "PALLAS_CHOLESKY_MIN_M", "PALLAS_CHOLESKY_MIN_BATCH"]
 
-# Dispatch gates, set from the committed micro-benchmark
-# (experiments/out/pallas_cholesky_bench.json): below these the XLA
-# factorization is already a negligible share of any step this library
-# runs, and the kernel's 128-lane padding wastes most of its work.
-PALLAS_CHOLESKY_MIN_M = 128
+# Dispatch gates, set from step-level A/Bs (not the micro-benchmark, which
+# is dispatch-noise-bound through the tunnel): the m=50 north-star slab
+# (14, 50, 50) is where XLA's serial per-iteration overhead dominates —
+# forcing this kernel there lifts the scanned train step 1653 -> 1948
+# steps/s (+18%), and at m=200 the step-level win is +2.5%
+# (experiments/out/pallas_cholesky_step_ab.json). Converged-accuracy parity
+# at small m (the jitter-hypersensitive regime) is pinned by
+# experiments/out/pallas_cholesky_smallm_ab.json. Below m=48 the 128-lane
+# padding wastes >60% of the kernel's work and the XLA factorization is
+# already a negligible share of any step this library runs.
+PALLAS_CHOLESKY_MIN_M = 48
 PALLAS_CHOLESKY_MIN_BATCH = 2
 
 _NB = 8  # panel width: f32 sublane quantum; keeps the serial VPU work small

@@ -30,6 +30,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.spec import ModelSpec
+from ..ops import linalg
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
@@ -105,6 +106,13 @@ def distribute(model, mesh: Mesh):
         # partitioner leak NaN into zero-weight lanes' gradients and would
         # force per-step reshard collectives (spec.merged_factor_dispatch).
         model.spec = dataclasses.replace(model.spec, merged_factor_dispatch=False)
+        # The auto-default Pallas Cholesky has no SPMD partitioning rule:
+        # factoring the now model-sharded Omega slabs through pallas_call
+        # would make the partitioner all-gather them every step. Keep
+        # sharded-state models on the natively partitioned XLA kernel
+        # (explicit set_cholesky_impl("pallas") is left alone).
+        if linalg.get_cholesky_impl() == "auto":
+            linalg.set_cholesky_impl("xla")
     p_sh = param_shardings(model.spec, model.params, mesh)
     b_sh = batch_shardings(model.spec, mesh)
     model.params = jax.tree.map(jax.device_put, model.params, p_sh)

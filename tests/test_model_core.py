@@ -293,6 +293,54 @@ def test_data_chunking_gradients_match(two_view_data):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
 
 
+def test_quad_diag_remat_value_and_grads_match(two_view_data, monkeypatch):
+    """Rematerializing the variance-projection intermediate (the optional
+    jax.checkpoint path in svgp_mean_var — off by default, measured 0.91x at
+    the Visium config) must not change the loss or gradients: checkpoint
+    replays the identical ops in the backward pass."""
+    import jax
+    from spatial_alignment_tpu.models import core
+
+    model = _tiny_model(two_view_data, seed=2)
+    key = jax.random.PRNGKey(5)
+    f = lambda p: core.negative_elbo(model.spec, p, model.consts, model._batch, key, 2)
+    monkeypatch.setattr(core, "_REMAT_QUAD_MIN_ELEMS", 1 << 62)  # force OFF
+    l_off, g_off = jax.value_and_grad(f)(model.params)
+    monkeypatch.setattr(core, "_REMAT_QUAD_MIN_ELEMS", 1)  # force ON everywhere
+    l_on, g_on = jax.value_and_grad(f)(model.params)
+    assert float(l_off) == float(l_on)
+    for a, b in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_on)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_quad_diag_remat_all_solve_modes(two_view_data, monkeypatch):
+    """Every svgp_mean_var branch (solve/kl_inverse/inverse/mixed/whitened/
+    triangular) routes its quadratic form through the remat helper; forcing
+    remat on must leave each mode's loss unchanged."""
+    import jax
+    from spatial_alignment_tpu.models import core
+
+    key = jax.random.PRNGKey(5)
+    variants = [
+        dict(svgp_solve_mode="solve"),
+        dict(svgp_solve_mode="kl_inverse"),
+        dict(svgp_solve_mode="inverse"),
+        dict(svgp_solve_mode="mixed"),
+        dict(whitened_variational=True),
+        dict(triangular_variational=True),
+    ]
+    for kw in variants:
+        model = _tiny_model(two_view_data, seed=2, **kw)
+        f = lambda p: core.negative_elbo(
+            model.spec, p, model.consts, model._batch, key, 2
+        )
+        monkeypatch.setattr(core, "_REMAT_QUAD_MIN_ELEMS", 1 << 62)
+        l_off = float(f(model.params))
+        monkeypatch.setattr(core, "_REMAT_QUAD_MIN_ELEMS", 1)
+        l_on = float(f(model.params))
+        assert l_off == l_on, kw
+
+
 def test_predict_mean_matches_sample_average(two_view_data):
     """predict() must equal the S->inf average of sampled forward outputs."""
     model = _tiny_model(two_view_data, n_latent_gps={"expression": 2}, seed=1)
