@@ -54,26 +54,31 @@ for seed in range(N_SEEDS):
                                        axis=1)))
             row[impl] = {"aligned_error": err, "steps_per_sec": 10000 / dt,
                          "finite": bool(np.all(np.isfinite(losses)))}
+        except Exception as e:  # record the failure, keep prior seeds' rows
+            row[impl] = {"error": f"{type(e).__name__}: {e}"}
         finally:
             linalg.set_cholesky_impl("auto")
-    row["ratio_pallas_over_xla"] = (
-        row["pallas"]["aligned_error"] / row["xla"]["aligned_error"])
+    if all("aligned_error" in row.get(i, {}) for i in ("xla", "pallas")):
+        row["ratio_pallas_over_xla"] = (
+            row["pallas"]["aligned_error"] / row["xla"]["aligned_error"])
     rows.append(row)
     print(json.dumps(row), flush=True)
 
+ok_rows = [r for r in rows if "ratio_pallas_over_xla" in r]
 summary = {
     "config": "2-view 10x10 grids (200 spots), m=50, L=5, de-novo, "
               "recipe=accurate, 10k epochs, single restart",
     "platform": jax.devices()[0].platform,
     "rows": rows,
+    "n_failed": len(rows) - len(ok_rows),
     "median_ratio_pallas_over_xla": float(
-        np.median([r["ratio_pallas_over_xla"] for r in rows])),
+        np.median([r["ratio_pallas_over_xla"] for r in ok_rows])),
     "xla_median_aligned_error": float(
-        np.median([r["xla"]["aligned_error"] for r in rows])),
+        np.median([r["xla"]["aligned_error"] for r in ok_rows])),
     "pallas_median_aligned_error": float(
-        np.median([r["pallas"]["aligned_error"] for r in rows])),
+        np.median([r["pallas"]["aligned_error"] for r in ok_rows])),
     "all_finite": bool(all(r["xla"]["finite"] and r["pallas"]["finite"]
-                           for r in rows)),
+                           for r in ok_rows)),
 }
 out = os.path.join(os.path.dirname(__file__), "..", "out",
                    "pallas_cholesky_smallm_ab.json")

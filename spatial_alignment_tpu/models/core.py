@@ -349,12 +349,17 @@ def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
         Om_d_tril = {n: jnp.tril(s) for n, s in zip(mod_names, om_d_list)}
         if m_X == m_G and Va > 0:
             L = jittered_cholesky(
-                jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0), eps
+                jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0), eps,
+                impl=spec.cholesky_impl,
             )
             L_w, L_d = L[:Va], L[Va]
         else:
-            L_w = jittered_cholesky(Kuu_w, eps) if Va else Kuu_w
-            L_d = jittered_cholesky(Kuu_d, eps)
+            L_w = (
+                jittered_cholesky(Kuu_w, eps, impl=spec.cholesky_impl)
+                if Va
+                else Kuu_w
+            )
+            L_d = jittered_cholesky(Kuu_d, eps, impl=spec.cholesky_impl)
         inv_w, inv_d = _kuu_inverses(spec, L_w, L_d, Va, m_X, m_G)
         return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril, inv_w, inv_d)
 
@@ -362,21 +367,25 @@ def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
     if not spec.merged_factor_dispatch:
         # Keep the model-sharded Omega_sqt_F lanes out of the merged slab.
         Om_d_tril = {
-            n: factor_psd_cholesky(s, eps) for n, s in zip(mod_names, om_d_list)
+            n: factor_psd_cholesky(s, eps, impl=spec.cholesky_impl)
+            for n, s in zip(mod_names, om_d_list)
         }
         if m_X == m_G and Va > 0:
             Lg, Lp = joint_factor_cholesky(
-                jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0), Om_w_flat, eps
+                jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0), Om_w_flat, eps,
+                impl=spec.cholesky_impl,
             )
             L_w, L_d = Lg[:Va], Lg[Va]
             Om_w_tril = Lp.reshape(Va, D, m_X, m_X)
         else:
             if Va:
-                L_w, Om_w_t = joint_factor_cholesky(Kuu_w, Om_w_flat, eps)
+                L_w, Om_w_t = joint_factor_cholesky(
+                    Kuu_w, Om_w_flat, eps, impl=spec.cholesky_impl
+                )
                 Om_w_tril = Om_w_t.reshape(Va, D, m_X, m_X)
             else:
                 L_w, Om_w_tril = Kuu_w, Om_w_sqt
-            L_d = jittered_cholesky(Kuu_d, eps)
+            L_d = jittered_cholesky(Kuu_d, eps, impl=spec.cholesky_impl)
         inv_w, inv_d = _kuu_inverses(spec, L_w, L_d, Va, m_X, m_G)
         return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril, inv_w, inv_d)
 
@@ -386,17 +395,22 @@ def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
             jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0),
             jnp.concatenate([Om_w_flat, Om_d_flat], axis=0),
             eps,
+            impl=spec.cholesky_impl,
         )
         L_w, L_d = Lg[:Va], Lg[Va]
         Om_w_tril = Lp[: Va * D].reshape(Va, D, m_X, m_X)
         Om_d_parts = _split_sizes(om_d_sizes, Lp[Va * D :])
     else:
         if Va:
-            L_w, Om_w_t = joint_factor_cholesky(Kuu_w, Om_w_flat, eps)
+            L_w, Om_w_t = joint_factor_cholesky(
+                Kuu_w, Om_w_flat, eps, impl=spec.cholesky_impl
+            )
             Om_w_tril = Om_w_t.reshape(Va, D, m_X, m_X)
         else:
             L_w, Om_w_tril = Kuu_w, Om_w_sqt
-        Lg_d, Lp_d = joint_factor_cholesky(Kuu_d[None], Om_d_flat, eps)
+        Lg_d, Lp_d = joint_factor_cholesky(
+            Kuu_d[None], Om_d_flat, eps, impl=spec.cholesky_impl
+        )
         L_d = Lg_d[0]
         Om_d_parts = _split_sizes(om_d_sizes, Lp_d)
     Om_d_tril = dict(zip(mod_names, Om_d_parts))
@@ -414,7 +428,7 @@ def omega_tril(spec: ModelSpec, Om_sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
     """
     if spec.triangular_variational or spec.whitened_variational:
         return jnp.tril(Om_sqt)
-    return factor_psd_cholesky(Om_sqt, eps)
+    return factor_psd_cholesky(Om_sqt, eps, impl=spec.cholesky_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -470,12 +484,13 @@ def warp_layer(
     if factors is None and Va:
         Kuu_w, Om_w_sqt = _warp_grams(spec, hp, active)
         if spec.triangular_variational or spec.whitened_variational:
-            L_a = jittered_cholesky(Kuu_w, eps)
+            L_a = jittered_cholesky(Kuu_w, eps, impl=spec.cholesky_impl)
             Om_a = jnp.tril(Om_w_sqt)
         else:
             m_X = Kuu_w.shape[-1]
             L_a, Om_flat = joint_factor_cholesky(
-                Kuu_w, Om_w_sqt.reshape(Va * spec.n_spatial_dims, m_X, m_X), eps
+                Kuu_w, Om_w_sqt.reshape(Va * spec.n_spatial_dims, m_X, m_X), eps,
+                impl=spec.cholesky_impl,
             )
             Om_a = Om_flat.reshape(Om_w_sqt.shape)
         if spec.svgp_solve_mode in ("inverse", "mixed"):
@@ -612,17 +627,21 @@ def _data_factors(
     names = [mod.name for mod in spec.modalities]
     if spec.triangular_variational or spec.whitened_variational:
         return (
-            jittered_cholesky(Kuu_d, eps),
+            jittered_cholesky(Kuu_d, eps, impl=spec.cholesky_impl),
             {n: jnp.tril(s) for n, s in zip(names, om_list)},
         )
     if not spec.merged_factor_dispatch:
         # Model-sharded Omega_sqt_F: own dispatches (see compute_factors).
         return (
-            jittered_cholesky(Kuu_d, eps),
-            {n: factor_psd_cholesky(s, eps) for n, s in zip(names, om_list)},
+            jittered_cholesky(Kuu_d, eps, impl=spec.cholesky_impl),
+            {
+                n: factor_psd_cholesky(s, eps, impl=spec.cholesky_impl)
+                for n, s in zip(names, om_list)
+            },
         )
     Lg, Lp = joint_factor_cholesky(
-        Kuu_d[None], jnp.concatenate(om_list, axis=0), eps
+        Kuu_d[None], jnp.concatenate(om_list, axis=0), eps,
+        impl=spec.cholesky_impl,
     )
     parts = _split_sizes([s.shape[0] for s in om_list], Lp)
     return Lg[0], dict(zip(names, parts))

@@ -131,6 +131,15 @@ class ModelSpec:
     # and would force per-step reshard collectives anyway. Unmerged lanes
     # are bit-identical, just more dispatches.
     merged_factor_dispatch: bool = True
+    # Which Cholesky implementation this model's factorization sites use:
+    # "auto" (default) = the fused batched Pallas kernel on the TPU backend
+    # when the slab clears the m/batch gates (ops/linalg._chol), XLA
+    # elsewhere; "xla"/"pallas" force one. Per-model and trace-time static —
+    # parallel.distribute() replaces it on ITS model when sharding requires
+    # (never a process-global flip, so other models in the same process keep
+    # their own choice). The deprecated ``linalg.set_cholesky_impl`` global
+    # still overrides models left at "auto".
+    cholesky_impl: str = "auto"
 
     # ---- derived helpers -------------------------------------------------
     @property
@@ -217,6 +226,7 @@ def build_spec(
     svgp_solve_mode: str = "auto",
     triangular_variational: bool = False,
     whitened_variational: bool = False,
+    cholesky_impl: str = "auto",
 ) -> ModelSpec:
     """Derive a ModelSpec from a reference-format data_dict.
 
@@ -288,6 +298,10 @@ def build_spec(
             f"svgp_solve_mode must be 'solve', 'kl_inverse', 'inverse', "
             f"'mixed' or 'auto', got {svgp_solve_mode!r}"
         )
+    if cholesky_impl not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"cholesky_impl must be 'auto', 'xla' or 'pallas', got {cholesky_impl!r}"
+        )
 
     if fixed_view_idx is None:
         fixed = tuple(False for _ in range(n_views))
@@ -322,6 +336,7 @@ def build_spec(
         svgp_solve_mode=svgp_solve_mode,
         triangular_variational=triangular_variational,
         whitened_variational=whitened_variational,
+        cholesky_impl=cholesky_impl,
     )
 
 

@@ -169,6 +169,7 @@ class VariationalGPSA:
         svgp_solve_mode: str = "auto",
         triangular_variational: bool = False,
         whitened_variational: bool = False,
+        cholesky_impl: str = "auto",
     ):
         del n_spatial_dims, minmax_init  # shape-driven / dead (SURVEY.md §2.4.5-6)
         spec = build_spec(
@@ -194,6 +195,7 @@ class VariationalGPSA:
             svgp_solve_mode=svgp_solve_mode,
             triangular_variational=triangular_variational,
             whitened_variational=whitened_variational,
+            cholesky_impl=cholesky_impl,
         )
         self.params, self.consts, self.spec = init_params(
             spec,
@@ -237,6 +239,7 @@ class VariationalGPSA:
             svgp_solve_mode=svgp_solve_mode,
             triangular_variational=triangular_variational,
             whitened_variational=whitened_variational,
+            cholesky_impl=cholesky_impl,
         )
 
         # Reference-parity bookkeeping attributes (used by plotting callbacks)

@@ -28,9 +28,13 @@ __all__ = [
     "kl_whitened",
     "chol_logdet",
     "set_cholesky_impl",
+    "get_cholesky_impl",
 ]
 
-# Which Cholesky implementation the jittered/PSD factorizations use.
+# Which Cholesky implementation the jittered/PSD factorizations use when the
+# caller doesn't thread a per-model choice (ModelSpec.cholesky_impl is the
+# first-class switch; this module global is a deprecated process-wide
+# override kept for scripts that predate the spec field).
 # "auto" (default): the fused batched Pallas kernel (ops.pallas_cholesky) on
 # the TPU backend for f32 slabs with m >= PALLAS_CHOLESKY_MIN_M and batch >=
 # PALLAS_CHOLESKY_MIN_BATCH (measured +18% on the scanned m=50 north-star
@@ -38,15 +42,15 @@ __all__ = [
 # experiments/out/pallas_cholesky_smallm_ab.json), XLA everywhere else.
 # "xla"/"pallas" force one implementation. Trace-time switch: flip it BEFORE
 # building/jitting a model (compiled functions keep whichever implementation
-# they were traced with). parallel.distribute() forces "xla" when it shards
-# the variational state: pallas_call has no SPMD partitioning rule, so the
-# partitioner would all-gather the model-sharded Omega slabs every step.
+# they were traced with).
 _CHOLESKY_IMPL = "auto"
 
 
 def set_cholesky_impl(impl: str) -> None:
-    """Select 'auto', 'xla' or 'pallas' for the factorization sites
-    (trace-time)."""
+    """Process-wide Cholesky-impl override: 'auto', 'xla' or 'pallas'
+    (trace-time). Deprecated in favor of the per-model
+    ``ModelSpec.cholesky_impl`` field; a non-'auto' value set here still wins
+    over spec-'auto' models for backward compatibility."""
     global _CHOLESKY_IMPL
     if impl not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown cholesky impl {impl!r}")
@@ -57,14 +61,24 @@ def get_cholesky_impl() -> str:
     return _CHOLESKY_IMPL
 
 
-def _chol(mat: jnp.ndarray) -> jnp.ndarray:
-    impl = _CHOLESKY_IMPL
+def _chol(mat: jnp.ndarray, impl: Optional[str] = None) -> jnp.ndarray:
+    # Resolution order: explicit per-call/per-model impl ('xla'/'pallas'),
+    # then the deprecated module global, then backend-based 'auto'.
+    if impl is None or impl == "auto":
+        impl = _CHOLESKY_IMPL
     if impl == "auto":
         # "axon" = the remote-attached TPU platform; same Mosaic lowering.
         impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     if impl == "pallas" and mat.dtype == jnp.float32:
         from . import pallas_cholesky as _pc
 
+        # NOTE: the m/batch gate reads trace-time shapes. Under a vmapped
+        # trace (e.g. fit_multistart's vectorized restarts) the mapped axis
+        # is invisible here, so `batch` undercounts the physical slab and the
+        # dispatch decision can differ from the equivalent unvmapped shapes
+        # (pallas_call then runs via vmap's batching rule rather than the
+        # kernel's internal batch vectorization). Perf-only: both paths are
+        # numerically the same kernel per matrix.
         batch = 1
         for s in mat.shape[:-2]:
             batch *= s
@@ -117,7 +131,9 @@ _NOISE_SAFETY = 0.5  # ~3-5x above the measured 0.15 sqrt(m) ulp |K| floor
 _FLOOR_MIN_M = 64
 
 
-def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
+def jittered_cholesky(
+    mat: jnp.ndarray, eps: float, *, impl: Optional[str] = None
+) -> jnp.ndarray:
     """Lower Cholesky of mat + jitter * I, jittered at the f32 noise floor.
 
     The reference adds an absolute 1e-5 jitter (gpsa.py:153) and relies on
@@ -178,9 +194,9 @@ def jittered_cholesky(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
     10x first step limits the damage if one ever fires; the extra
     factorization is noise next to the m >= 64 Gram work.
     """
-    jitter = _probed_jitter(mat, eps)
+    jitter = _probed_jitter(mat, eps, impl)
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
-    return _chol(mat + jitter[..., None, None] * eye)
+    return _chol(mat + jitter[..., None, None] * eye, impl)
 
 
 def _base_jitter(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -201,7 +217,9 @@ def _base_jitter(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
     return jax.lax.stop_gradient(base)
 
 
-def _probed_jitter(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
+def _probed_jitter(
+    mat: jnp.ndarray, eps: float, impl: Optional[str] = None
+) -> jnp.ndarray:
     """The NaN-probe-escalated jitter for a (batched) kernel Gram slab.
 
     One batched probe dispatch covers all rungs: in the floor regime
@@ -216,16 +234,20 @@ def _probed_jitter(mat: jnp.ndarray, eps: float) -> jnp.ndarray:
     frozen = jax.lax.stop_gradient(mat)
     if m >= _FLOOR_MIN_M:
         slab = jnp.stack([base, 10.0 * base])  # (2, ...batch)
-        probes = _chol(frozen[None] + slab[..., None, None] * eye)
+        probes = _chol(frozen[None] + slab[..., None, None] * eye, impl)
         ok = jnp.logical_not(jnp.any(jnp.isnan(probes), axis=(-2, -1)))
         return jnp.where(ok[0], base, jnp.where(ok[1], 10.0 * base, 100.0 * base))
-    L = _chol(frozen + base[..., None, None] * eye)
+    L = _chol(frozen + base[..., None, None] * eye, impl)
     ok1 = jnp.logical_not(jnp.any(jnp.isnan(L), axis=(-2, -1)))
     return jnp.where(ok1, base, 100.0 * base)
 
 
 def joint_factor_cholesky(
-    gram: jnp.ndarray, psd_sqt: Optional[jnp.ndarray], eps: float
+    gram: jnp.ndarray,
+    psd_sqt: Optional[jnp.ndarray],
+    eps: float,
+    *,
+    impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Factor a Gram slab and a PSD-product slab in ONE final dispatch.
 
@@ -243,12 +265,12 @@ def joint_factor_cholesky(
     probe call) replaces ~8 latency-bound dispatches with 2 — numerically
     identical per matrix (batch lanes are independent).
     """
-    jitter = _probed_jitter(gram, eps)
+    jitter = _probed_jitter(gram, eps, impl)
     m = gram.shape[-1]
     eye = jnp.eye(m, dtype=gram.dtype)
     jittered = gram + jitter[..., None, None] * eye
     if psd_sqt is None:
-        return _chol(jittered), None
+        return _chol(jittered, impl), None
     mat = psd_sqt @ jnp.swapaxes(psd_sqt, -1, -2)
     diag_mean = jnp.maximum(
         1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
@@ -256,11 +278,13 @@ def joint_factor_cholesky(
     scale = jax.lax.stop_gradient(diag_mean)
     psd_jittered = mat + (eps * scale)[..., None, None] * eye
     Bg = gram.shape[0]
-    L = _chol(jnp.concatenate([jittered, psd_jittered], axis=0))
+    L = _chol(jnp.concatenate([jittered, psd_jittered], axis=0), impl)
     return L[:Bg], L[Bg:]
 
 
-def factor_psd_cholesky(sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
+def factor_psd_cholesky(
+    sqt: jnp.ndarray, eps: float, *, impl: Optional[str] = None
+) -> jnp.ndarray:
     """Lower Cholesky of ``sqt @ sqt^T + jitter * I`` for a free square factor.
 
     Used for the variational covariances Omega = Omega_sqt Omega_sqt^T + eps I
@@ -280,7 +304,7 @@ def factor_psd_cholesky(sqt: jnp.ndarray, eps: float) -> jnp.ndarray:
     )
     scale = jax.lax.stop_gradient(diag_mean)
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
-    return _chol(mat + (eps * scale)[..., None, None] * eye)
+    return _chol(mat + (eps * scale)[..., None, None] * eye, impl)
 
 
 def _broadcast_mats(a: jnp.ndarray, b: jnp.ndarray):

@@ -108,11 +108,16 @@ def distribute(model, mesh: Mesh):
         model.spec = dataclasses.replace(model.spec, merged_factor_dispatch=False)
         # The auto-default Pallas Cholesky has no SPMD partitioning rule:
         # factoring the now model-sharded Omega slabs through pallas_call
-        # would make the partitioner all-gather them every step. Keep
-        # sharded-state models on the natively partitioned XLA kernel
-        # (explicit set_cholesky_impl("pallas") is left alone).
-        if linalg.get_cholesky_impl() == "auto":
-            linalg.set_cholesky_impl("xla")
+        # would make the partitioner all-gather them every step. Pin THIS
+        # model to the natively partitioned XLA kernel via its spec — a
+        # per-model, trace-time-static choice; other models in the process
+        # keep their own cholesky_impl (explicit "pallas", per-model or via
+        # the deprecated global override, is left alone).
+        if (
+            model.spec.cholesky_impl == "auto"
+            and linalg.get_cholesky_impl() == "auto"
+        ):
+            model.spec = dataclasses.replace(model.spec, cholesky_impl="xla")
     p_sh = param_shardings(model.spec, model.params, mesh)
     b_sh = batch_shardings(model.spec, mesh)
     model.params = jax.tree.map(jax.device_put, model.params, p_sh)

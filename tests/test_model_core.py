@@ -308,7 +308,9 @@ def test_quad_diag_remat_value_and_grads_match(two_view_data, monkeypatch):
     l_off, g_off = jax.value_and_grad(f)(model.params)
     monkeypatch.setattr(core, "_REMAT_QUAD_MIN_ELEMS", 1)  # force ON everywhere
     l_on, g_on = jax.value_and_grad(f)(model.params)
-    assert float(l_off) == float(l_on)
+    # jax.checkpoint changes the jaxpr, so XLA may fuse the forward
+    # differently across versions — tight tolerance, not bit-exactness.
+    np.testing.assert_allclose(float(l_off), float(l_on), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_on)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 

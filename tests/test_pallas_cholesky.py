@@ -76,10 +76,13 @@ def test_linalg_dispatch_gate(rng, interp):
         linalg.set_cholesky_impl("bogus")
 
 
-def test_distribute_forces_xla_for_sharded_state(rng):
-    """distribute() with a model-axis-sharded variational state must flip the
-    'auto' Cholesky impl to XLA (pallas_call has no SPMD partitioning rule);
-    an explicit user setting is left alone."""
+def test_distribute_pins_xla_per_model_only(rng):
+    """distribute() with a model-axis-sharded variational state pins THAT
+    model's spec.cholesky_impl to 'xla' (pallas_call has no SPMD partitioning
+    rule) without touching process-global state: a single-device model built
+    afterwards in the same process keeps the 'auto' (Pallas-on-TPU) default,
+    and explicit choices — per-model or via the deprecated global override —
+    are left alone."""
     import jax
     from spatial_alignment_tpu.parallel import make_mesh, distribute
     import spatial_alignment_tpu as sat
@@ -90,18 +93,52 @@ def test_distribute_forces_xla_for_sharded_state(rng):
     Y = rng.standard_normal((40, 4)).astype(np.float32)
     dd = {"expression": {"spatial_coords": X, "outputs": Y,
                          "n_samples_list": [20, 20]}}
+    assert linalg.get_cholesky_impl() == "auto"
+    model = sat.VariationalGPSA(dd, m_X_per_view=8, m_G=8,
+                                n_latent_gps={"expression": 4})
+    mesh = make_mesh(8, model_parallel=2)
+    distribute(model, mesh)
+    assert model.spec.cholesky_impl == "xla"
+    # The process-global default is untouched...
+    assert linalg.get_cholesky_impl() == "auto"
+    # ...so a fresh single-device model keeps the auto (Pallas-on-TPU) default.
+    fresh = sat.VariationalGPSA(dd, m_X_per_view=8, m_G=8,
+                                n_latent_gps={"expression": 4})
+    assert fresh.spec.cholesky_impl == "auto"
+    # An explicit per-model choice survives distribute().
+    forced = sat.VariationalGPSA(dd, m_X_per_view=8, m_G=8,
+                                 n_latent_gps={"expression": 4},
+                                 cholesky_impl="pallas")
+    distribute(forced, mesh)
+    assert forced.spec.cholesky_impl == "pallas"
+    # The deprecated global override also suppresses the pin.
     try:
-        linalg.set_cholesky_impl("auto")
-        model = sat.VariationalGPSA(dd, m_X_per_view=8, m_G=8,
-                                    n_latent_gps={"expression": 4})
-        mesh = make_mesh(8, model_parallel=2)
-        distribute(model, mesh)
-        assert linalg.get_cholesky_impl() == "xla"
-        # Explicit setting survives a second distribute().
         linalg.set_cholesky_impl("pallas")
         model2 = sat.VariationalGPSA(dd, m_X_per_view=8, m_G=8,
                                      n_latent_gps={"expression": 4})
         distribute(model2, mesh)
+        assert model2.spec.cholesky_impl == "auto"
         assert linalg.get_cholesky_impl() == "pallas"
+    finally:
+        linalg.set_cholesky_impl("auto")
+
+
+def test_spec_impl_overrides_global(rng, interp):
+    """A per-model spec impl ('xla'/'pallas') wins over the module global;
+    spec-'auto' defers to the global."""
+    A_big = jnp.asarray(_spd(rng, 2, 128))
+    try:
+        linalg.set_cholesky_impl("pallas")
+        # Explicit per-call 'xla' must ignore the global 'pallas'.
+        L = np.asarray(linalg._chol(A_big, "xla"))
+        np.testing.assert_allclose(
+            L @ np.swapaxes(L, -1, -2), np.asarray(A_big), rtol=2e-4, atol=2e-3
+        )
+        # Per-call 'auto'/None defer to the global (pallas here; interpret
+        # mode makes it runnable on CPU).
+        L2 = np.asarray(linalg._chol(A_big, "auto"))
+        np.testing.assert_allclose(
+            L2 @ np.swapaxes(L2, -1, -2), np.asarray(A_big), rtol=2e-4, atol=2e-3
+        )
     finally:
         linalg.set_cholesky_impl("auto")
