@@ -166,18 +166,84 @@ def _chol_forward(a: jnp.ndarray) -> jnp.ndarray:
     return L.reshape(*batch_shape, m, m)
 
 
+# --- SPMD story -------------------------------------------------------------
+# pallas_call has no partitioning rule of its own, so without help the SPMD
+# partitioner all-gathers any sharded operand around the kernel (the round-3
+# reason distribute() pinned sharded-state models back to XLA). Batch lanes
+# of a Cholesky are independent, so batch-dim sharding is trivially correct:
+# custom_partitioning declares the trailing (matrix) dims replication-only
+# and every leading dim passthrough, and each device runs the fused kernel on
+# its local slab — no collectives (HLO-asserted in tests/test_sharding.py).
+from jax.experimental.custom_partitioning import custom_partitioning
+
+
+def _batch_sharding(sharding, ndim):
+    """The operand/result sharding with the trailing two dims replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = list(sharding.spec[: ndim - 2])
+    spec += [None] * max(0, ndim - 2 - len(spec))
+    return NamedSharding(sharding.mesh, PartitionSpec(*spec, None, None))
+
+
+def make_partitioned_cholesky(lower_fn):
+    """Wrap a batched-Cholesky impl in the batch-dim partitioning rule.
+
+    ``lower_fn`` runs per shard on its local slab. Factored out so the rule
+    itself is testable on the CPU mesh with an XLA stand-in lower_fn
+    (interpret-mode pallas carries an ordered-IO callback effect that
+    custom_partitioning cannot lower, so the real kernel can only go through
+    this path on actual TPU — where it has no such effect)."""
+
+    def _partition(mesh, arg_shapes, result_shape):
+        sh = _batch_sharding(arg_shapes[0].sharding, len(arg_shapes[0].shape))
+        return mesh, lower_fn, sh, (sh,)
+
+    def _infer_sharding(mesh, arg_shapes, result_shape):
+        return _batch_sharding(arg_shapes[0].sharding, len(arg_shapes[0].shape))
+
+    wrapped = custom_partitioning(lower_fn)
+    wrapped.def_partition(
+        partition=_partition,
+        infer_sharding_from_operands=_infer_sharding,
+        # Shardy propagation rule: batch factors pass through, matrix dims
+        # must be replicated (each shard needs whole matrices).
+        sharding_rule="... i j -> ... i j",
+        need_replication_factors=("i", "j"),
+    )
+    return wrapped
+
+
+_chol_partitioned = make_partitioned_cholesky(_chol_forward)
+
+
+# custom_partitioning has no vmap batching rule, but the kernel is
+# rank-polymorphic over leading batch dims — so vmap (e.g. fit_multistart's
+# vectorized restarts) just folds the mapped axis into the batch.
+@jax.custom_batching.custom_vmap
+def _chol_batched(a: jnp.ndarray) -> jnp.ndarray:
+    return _chol_partitioned(a)
+
+
+@_chol_batched.def_vmap
+def _chol_batched_vmap(axis_size, in_batched, a):
+    del axis_size, in_batched  # mapped axis arrives at dim 0 = a batch dim
+    return _chol_batched(a), True
+
+
 @jax.custom_vjp
 def cholesky(a: jnp.ndarray) -> jnp.ndarray:
     """Lower Cholesky of a batched PSD matrix via the fused Pallas kernel.
 
     Semantics match ``jnp.linalg.cholesky`` (including NaN on indefinite
-    input). f32 only; arbitrary batch dims.
+    input). f32 only; arbitrary batch dims. Batch-dim-sharded operands run
+    the kernel per shard with no collectives (custom_partitioning above).
     """
-    return _chol_forward(a)
+    return _chol_batched(a)
 
 
 def _chol_fwd(a):
-    L = _chol_forward(a)
+    L = _chol_batched(a)
     return L, L
 
 

@@ -106,18 +106,11 @@ def distribute(model, mesh: Mesh):
         # partitioner leak NaN into zero-weight lanes' gradients and would
         # force per-step reshard collectives (spec.merged_factor_dispatch).
         model.spec = dataclasses.replace(model.spec, merged_factor_dispatch=False)
-        # The auto-default Pallas Cholesky has no SPMD partitioning rule:
-        # factoring the now model-sharded Omega slabs through pallas_call
-        # would make the partitioner all-gather them every step. Pin THIS
-        # model to the natively partitioned XLA kernel via its spec — a
-        # per-model, trace-time-static choice; other models in the process
-        # keep their own cholesky_impl (explicit "pallas", per-model or via
-        # the deprecated global override, is left alone).
-        if (
-            model.spec.cholesky_impl == "auto"
-            and linalg.get_cholesky_impl() == "auto"
-        ):
-            model.spec = dataclasses.replace(model.spec, cholesky_impl="xla")
+        # The Pallas Cholesky stays usable here: ops.pallas_cholesky wraps
+        # the kernel in custom_partitioning (batch lanes are independent, so
+        # batch-dim sharding runs the kernel per shard with no collectives —
+        # HLO-asserted in tests/test_sharding.py), so model-sharded Omega
+        # slabs keep the fused kernel under spec.cholesky_impl="auto".
     p_sh = param_shardings(model.spec, model.params, mesh)
     b_sh = batch_shardings(model.spec, mesh)
     model.params = jax.tree.map(jax.device_put, model.params, p_sh)

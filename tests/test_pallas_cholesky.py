@@ -76,13 +76,12 @@ def test_linalg_dispatch_gate(rng, interp):
         linalg.set_cholesky_impl("bogus")
 
 
-def test_distribute_pins_xla_per_model_only(rng):
-    """distribute() with a model-axis-sharded variational state pins THAT
-    model's spec.cholesky_impl to 'xla' (pallas_call has no SPMD partitioning
-    rule) without touching process-global state: a single-device model built
-    afterwards in the same process keeps the 'auto' (Pallas-on-TPU) default,
-    and explicit choices — per-model or via the deprecated global override —
-    are left alone."""
+def test_distribute_leaves_cholesky_impl_alone(rng):
+    """distribute() no longer touches the Cholesky impl — per-model or
+    global: the kernel carries its own SPMD partitioning rule
+    (custom_partitioning, batch-dim sharding), so model-sharded Omega slabs
+    keep the fused kernel and a single-device model built afterwards in the
+    same process keeps the 'auto' (Pallas-on-TPU) default."""
     import jax
     from spatial_alignment_tpu.parallel import make_mesh, distribute
     import spatial_alignment_tpu as sat
@@ -98,29 +97,72 @@ def test_distribute_pins_xla_per_model_only(rng):
                                 n_latent_gps={"expression": 4})
     mesh = make_mesh(8, model_parallel=2)
     distribute(model, mesh)
-    assert model.spec.cholesky_impl == "xla"
-    # The process-global default is untouched...
+    assert model.spec.cholesky_impl == "auto"
     assert linalg.get_cholesky_impl() == "auto"
-    # ...so a fresh single-device model keeps the auto (Pallas-on-TPU) default.
+    # A fresh single-device model keeps the auto (Pallas-on-TPU) default.
     fresh = sat.VariationalGPSA(dd, m_X_per_view=8, m_G=8,
                                 n_latent_gps={"expression": 4})
     assert fresh.spec.cholesky_impl == "auto"
-    # An explicit per-model choice survives distribute().
+    # An explicit per-model choice survives distribute() too.
     forced = sat.VariationalGPSA(dd, m_X_per_view=8, m_G=8,
                                  n_latent_gps={"expression": 4},
                                  cholesky_impl="pallas")
     distribute(forced, mesh)
     assert forced.spec.cholesky_impl == "pallas"
-    # The deprecated global override also suppresses the pin.
-    try:
-        linalg.set_cholesky_impl("pallas")
-        model2 = sat.VariationalGPSA(dd, m_X_per_view=8, m_G=8,
-                                     n_latent_gps={"expression": 4})
-        distribute(model2, mesh)
-        assert model2.spec.cholesky_impl == "auto"
-        assert linalg.get_cholesky_impl() == "pallas"
-    finally:
-        linalg.set_cholesky_impl("auto")
+
+
+def test_sharded_batch_cholesky_no_collectives(rng):
+    """The batch-dim partitioning rule (make_partitioned_cholesky — the same
+    rule the pallas kernel ships under on TPU, here with an XLA stand-in
+    lower_fn since interpret-mode pallas can't lower through
+    custom_partitioning): a batch-dim-sharded slab factors per shard —
+    results match and the compiled program contains no collectives. Also
+    covers 4-D slabs (the stacked jitter probes) sharded on an inner batch
+    dim."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    f = pc.make_partitioned_cholesky(lambda a: jnp.linalg.cholesky(a))
+    A = jnp.asarray(_spd(rng, 8, 16))
+    ref = np.linalg.cholesky(np.asarray(A))
+    for spec in (P("model", None, None), P(("data", "model"), None, None), P()):
+        a = jax.device_put(A, NamedSharding(mesh, spec))
+        compiled = jax.jit(f).lower(a).compile()
+        out = compiled(a)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+        assert out.sharding.spec == spec or spec == P()
+        hlo = compiled.as_text()
+        for bad in ("all-gather", "all-reduce", "all-to-all",
+                    "collective-permute"):
+            assert bad not in hlo, f"unexpected collective {bad} for {spec}"
+    # Stacked-probe shape: (2, B, m, m) sharded on dim 1.
+    A4 = jnp.stack([A, A + jnp.eye(16)])
+    a4 = jax.device_put(A4, NamedSharding(mesh, P(None, "model", None, None)))
+    compiled = jax.jit(f).lower(a4).compile()
+    out4 = compiled(a4)
+    np.testing.assert_allclose(
+        np.asarray(out4), np.linalg.cholesky(np.asarray(A4)), rtol=1e-4, atol=1e-4
+    )
+    assert "all-gather" not in compiled.as_text()
+
+
+def test_vmapped_pallas_cholesky(rng, interp):
+    """vmap over the kernel (vectorized multistart's trace shape) folds the
+    mapped axis into the batch via the custom_vmap rule."""
+    A = jnp.asarray(_spd(rng, 3, 128)).reshape(3, 1, 128, 128)
+    out = jax.vmap(pc.cholesky)(A)
+    np.testing.assert_allclose(
+        np.asarray(out), np.linalg.cholesky(np.asarray(A)), rtol=1e-4, atol=1e-4
+    )
+    # grad composes with vmap through the custom VJP
+    w = jnp.asarray(rng.standard_normal(A.shape).astype(np.float32))
+    g = jax.vmap(jax.grad(lambda a, ww: jnp.sum(pc.cholesky(a) * ww)))(A, w)
+    gx = jax.vmap(jax.grad(lambda a, ww: jnp.sum(jnp.linalg.cholesky(a) * ww)))(A, w)
+    rel = float(jnp.abs(g - gx).max() / jnp.abs(gx).max())
+    assert rel < 1e-4, rel
 
 
 def test_spec_impl_overrides_global(rng, interp):
