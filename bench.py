@@ -45,14 +45,12 @@ def load_data():
 def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0, **model_kw):
     import jax
 
-    try:
-        # Hardware RNG: threefry is serial-heavy on TPU; rbg is the
-        # documented fast path (jax.random docs). Sample streams differ,
-        # which this model makes no claims about (SURVEY.md §7 "RNG").
-        jax.config.update("jax_default_prng_impl", "rbg")
-    except Exception:
-        pass
+    # The carry key comes from the library's own default (typed rbg keys on
+    # TPU, models/vgpsa.py:default_prng_impl) — the headline measures exactly
+    # what fit() ships, no bench-only PRNG override (VERDICT r3 item 8;
+    # rbg's end-to-end delta is +2-2.6%, solve_prng_step_ab.json).
     from spatial_alignment_tpu import VariationalGPSA
+    from spatial_alignment_tpu.models.vgpsa import make_key
 
     data_dict = {
         "expression": {
@@ -73,7 +71,7 @@ def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0, **model_kw):
     # Scanned on-device training loop: the whole chunk of ELBO steps is one
     # dispatch (lax.scan) with donated buffers and a device-resident RNG chain.
     loop, opt_state = model.make_train_loop(lr=LR, S=S)
-    carry = (model.params, opt_state, jax.random.PRNGKey(0))
+    carry = (model.params, opt_state, make_key(0))
     chunk = 200
     carry, losses = loop(carry, chunk)  # compile + warmup
     losses.block_until_ready()

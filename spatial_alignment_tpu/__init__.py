@@ -9,7 +9,7 @@ stochastic variational inference.
 Public facade parity: /root/reference/gpsa/__init__.py:1-10.
 """
 
-from .models.vgpsa import VariationalGPSA, GPSA
+from .models.vgpsa import VariationalGPSA, GPSA, make_key, default_prng_impl
 from .models.mle import WarpGPMLE
 from .models.spec import ModelSpec, ModalitySpec, build_spec, pack_batch
 from .models import core

@@ -284,15 +284,27 @@ def build_spec(
         svgp_matmul_precision = "high" if total_points >= 2000 else "highest"
 
     if svgp_solve_mode == "auto":
-        # The KL's prior solve shares the factor pass's explicit inverse
-        # (accuracy-neutral at convergence in BOTH sensitive regimes:
-        # median error ratio 1.04 at m=200/N=4050 over 10k epochs,
-        # solve_mode_convergence_ab.json, and 0.93 at the small-m de-novo
-        # oracle config, solve_mode_smallm_ab.json) and removes a serial
-        # block-loop dispatch: +7-12% steps/s at both scales. Full
+        # Both resolutions share the factor pass's explicit chol(Kuu)^-1 for
+        # the KL's prior solve (accuracy-neutral at convergence in BOTH
+        # sensitive regimes: median error ratio 1.04 at m=200/N=4050 over
+        # 10k epochs, solve_mode_convergence_ab.json, and 0.93 at the
+        # small-m de-novo oracle config, solve_mode_smallm_ab.json). At
+        # scale, "mixed" additionally replaces the predictive's width-N
+        # block-loop solve with MXU matmuls against the inverse (mean stays
+        # backward-stable through a narrow width-C solve; accuracy gates:
+        # mixed median error ratio 0.83 at the small-m oracle config and
+        # 1.17 at ~2e-5 absolute at m=200): measured +7-14% steps/s at
+        # every config except the smallest (m=50, 200 points, where the
+        # extra dispatches make it 0.91x — solve_prng_step_ab.json, plus
+        # the m in {50,100,128} x N in {200,4050} crossover probes). Gate:
+        # mixed at m >= 64 or >= 2000 total points, kl_inverse below. Full
         # "inverse" stays opt-in: measured median 14.6x converged-alignment
         # cost at m=200.
-        svgp_solve_mode = "kl_inverse"
+        total_points = sum(sum(m.n_samples) for m in modalities)
+        if max(m_X_per_view, m_G) >= 64 or total_points >= 2000:
+            svgp_solve_mode = "mixed"
+        else:
+            svgp_solve_mode = "kl_inverse"
     if svgp_solve_mode not in ("solve", "kl_inverse", "inverse", "mixed"):
         raise ValueError(
             f"svgp_solve_mode must be 'solve', 'kl_inverse', 'inverse', "

@@ -121,6 +121,22 @@ def _resolve_recipe(
     return optimizer, warp_temperature_schedule
 
 
+def default_prng_impl() -> str:
+    """The library's PRNG implementation: the hardware rbg generator on TPU
+    (threefry's serial bit math costs a measured 2-2.6% of end-to-end step
+    throughput at both bench configs, experiments/out/solve_prng_step_ab.json),
+    jax's default threefry elsewhere. Per-model typed keys — no process-global
+    config mutation; sample streams differ between impls, which this model
+    makes no claims about (SURVEY.md §7 "RNG")."""
+    return "rbg" if jax.default_backend() in ("tpu", "axon") else "threefry2x32"
+
+
+def make_key(seed: int) -> jax.Array:
+    """A typed PRNG key under the library's default impl (see
+    :func:`default_prng_impl`)."""
+    return jax.random.key(int(seed), impl=default_prng_impl())
+
+
 @partial(jax.jit, static_argnames=("spec", "S"))
 def _jit_neg_elbo(spec, params, consts, batch, key, S):
     return core.negative_elbo(spec, params, consts, batch, key, S)
@@ -207,7 +223,7 @@ class VariationalGPSA:
             fixed_warp_kernel_lengthscales=fixed_warp_kernel_lengthscales,
             fixed_data_kernel_lengthscales=fixed_data_kernel_lengthscales,
         )
-        self._key = jax.random.PRNGKey(seed)
+        self._key = make_key(seed)
         self._batch = pack_batch(self.spec, data_dict)
         self._last_aux = None  # (hp, warp_aux, data_aux) from the last forward
         # Kept for reinitialize()/fit_multistart (host-side re-init only).
@@ -718,8 +734,10 @@ class VariationalGPSA:
         if resume_from is not None:
             from ..utils.checkpoint import unflatten_into
 
+            from ..utils.checkpoint import decode_rng_key
+
             opt_state = unflatten_into(opt_state, blob["opt"])
-            carry_key = jnp.asarray(blob["rng_key"])
+            carry_key = decode_rng_key(blob)
         else:
             carry_key = self._next_key()
         if chunk_size is None:
@@ -805,7 +823,7 @@ class VariationalGPSA:
         # (_cached_train_loop) survive restarts instead of recompiling.
         if not _tree_equal(consts, self.consts):
             self.consts = consts
-        self._key = jax.random.PRNGKey(seed)
+        self._key = make_key(seed)
         return self
 
     def _holdout_split(self, frac: float, rng: np.random.Generator):
@@ -1003,9 +1021,7 @@ class VariationalGPSA:
             return jax.lax.scan(one, carry, temps)
 
         opt_state = jax.vmap(tx.init)(params_r)
-        keys = jax.random.split(
-            jax.random.PRNGKey(seed0), n_restarts
-        )
+        keys = jax.random.split(make_key(seed0), n_restarts)
         carry = (params_r, opt_state, keys)
         losses = np.zeros((n_epochs, n_restarts), np.float64)
         t = 0
@@ -1348,7 +1364,7 @@ class VariationalGPSA:
             model._batch = jax.tree.map(jnp.asarray, batch)
         else:
             model._batch = None
-        model._key = jax.random.PRNGKey(int(blob["manifest"].get("seed", 0)))
+        model._key = make_key(int(blob["manifest"].get("seed", 0)))
         model._last_aux = None
         model._init_args = None  # reinitialize() needs the original data
         model._restore_training_state(path, blob=blob)
@@ -1379,7 +1395,9 @@ class VariationalGPSA:
         if blob is None:
             blob = load_checkpoint_blob(path)
         if blob["rng_key"] is not None:
-            self._carry_key = jnp.asarray(blob["rng_key"])
+            from ..utils.checkpoint import decode_rng_key
+
+            self._carry_key = decode_rng_key(blob)
         self._epoch = int(blob["manifest"].get("step") or 0)
 
     def neg_elbo(self, S: int = 5, key: Optional[jax.Array] = None) -> float:

@@ -76,10 +76,22 @@ def save_checkpoint(
         payload.update({f"data/{k}": v for k, v in _flatten_with_paths(batch).items()})
     if opt_state is not None:
         payload.update({f"opt/{k}": v for k, v in _flatten_with_paths(opt_state).items()})
+    rng_impl = None
     if rng_key is not None:
-        payload["rng/key"] = np.asarray(rng_key)
+        import jax.numpy as jnp
+
+        if jnp.issubdtype(jnp.asarray(rng_key).dtype, jax.dtypes.prng_key):
+            # Typed PRNG key: store raw key data + the impl name in the
+            # manifest so restore rebuilds the same generator (the library
+            # defaults to rbg keys on TPU; raw arrays would lose the impl).
+            rng_impl = str(jax.random.key_impl(rng_key))
+            payload["rng/key"] = np.asarray(jax.random.key_data(rng_key))
+        else:
+            payload["rng/key"] = np.asarray(rng_key)
     np.savez(path, **payload)
     manifest = {"step": step, "n_leaves": len(payload)}
+    if rng_impl is not None:
+        manifest["rng_impl"] = rng_impl
     if spec is not None:
         from ..models.spec import spec_to_dict
 
@@ -123,6 +135,21 @@ def load_checkpoint_blob(path: str) -> dict:
     sections["rng_key"] = rng_key
     sections["manifest"] = read_manifest(path)
     return sections
+
+
+def decode_rng_key(blob: dict):
+    """The training-loop carry key from a checkpoint blob: a typed key when
+    the manifest records its impl (rng_impl), else the legacy raw uint32
+    array (interpreted under jax's global default impl)."""
+    import jax.numpy as jnp
+
+    if blob["rng_key"] is None:
+        return None
+    impl = blob["manifest"].get("rng_impl")
+    arr = jnp.asarray(blob["rng_key"])
+    if impl:
+        return jax.random.wrap_key_data(arr, impl=impl)
+    return arr
 
 
 def unflatten_into(template, flat: dict):

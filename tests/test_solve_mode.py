@@ -172,15 +172,22 @@ def test_inverse_mode_minibatch_fit_runs():
 
 
 def test_build_spec_auto_gate_and_validation():
-    # "auto" resolves to kl_inverse at every size — accuracy-neutral in both
-    # measured regimes (solve_mode_convergence_ab.json at m=200,
-    # solve_mode_smallm_ab.json at the small-m oracle config).
+    # "auto" resolves to mixed at scale (m >= 64 or >= 2000 points; +7-14%
+    # steps/s, accuracy gates in solve_mode_{convergence,smallm}_ab.json)
+    # and kl_inverse at the smallest configs (where mixed's extra dispatches
+    # measured 0.91x — solve_prng_step_ab.json).
     small = make_two_view_data(n_per_view=30, n_outputs=2)
     spec_small = build_spec(small, m_X_per_view=5, m_G=5)
     assert spec_small.svgp_solve_mode == "kl_inverse"
     assert build_spec(
         small, m_X_per_view=5, m_G=5, svgp_solve_mode="solve"
     ).svgp_solve_mode == "solve"
+    # m-gate: either inducing count >= 64 flips to mixed.
+    assert build_spec(small, m_X_per_view=64, m_G=5).svgp_solve_mode == "mixed"
+    assert build_spec(small, m_X_per_view=5, m_G=64).svgp_solve_mode == "mixed"
+    # N-gate: >= 2000 total points flips to mixed even at small m.
+    big = make_two_view_data(n_per_view=1000, n_outputs=2)
+    assert build_spec(big, m_X_per_view=5, m_G=5).svgp_solve_mode == "mixed"
 
     with pytest.raises(ValueError):
         build_spec(small, m_X_per_view=5, m_G=5, svgp_solve_mode="bogus")
