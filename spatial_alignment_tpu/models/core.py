@@ -132,6 +132,7 @@ def svgp_mean_var(
     whitened: bool = False,
     solve_mode: str = "solve",
     Kuu_inv: Optional[jnp.ndarray] = None,
+    impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SVGP marginal posterior at the Kuf columns.
 
@@ -169,13 +170,13 @@ def svgp_mean_var(
     inverse = solve_mode == "inverse"
     if inverse or (solve_mode == "mixed" and not whitened):
         # (..., m, m) — the step's only block-loop solve, unless shared
-        Linv = Kuu_inv if Kuu_inv is not None else tri_inverse(Kuu_chol)
+        Linv = Kuu_inv if Kuu_inv is not None else tri_inverse(Kuu_chol, impl=impl)
     if whitened:
         if inverse:
             with jax.default_matmul_precision("highest"):
                 B_w = Linv @ Kuf  # (..., m, N)
         else:
-            B_w = tri_solve(Kuu_chol, Kuf)  # (..., m, N) — the only solve
+            B_w = tri_solve(Kuu_chol, Kuf, impl=impl)  # (..., m, N) — the only solve
         alphaT = jnp.swapaxes(B_w, -1, -2)  # (..., N, m)
         aKa = jnp.sum(jnp.square(alphaT), axis=-1)  # (..., N)
         with jax.default_matmul_precision(matmul_precision):
@@ -188,7 +189,7 @@ def svgp_mean_var(
         aKa = jnp.sum(jnp.square(half), axis=-2)  # (..., N)
         # Mean via the narrow (width-C) backward-stable solve, then one
         # MXU projection — never touches the explicit inverse.
-        v = cholesky_solve(Kuu_chol, delta - mu_z)  # (..., m, C)
+        v = cholesky_solve(Kuu_chol, delta - mu_z, impl=impl)  # (..., m, C)
         with jax.default_matmul_precision(matmul_precision):
             mu_tilde = mu_x + jnp.swapaxes(Kuf, -1, -2) @ v  # (..., N, C)
         with jax.default_matmul_precision("highest"):
@@ -214,7 +215,7 @@ def svgp_mean_var(
         # shared — one diag-block inversion instead of S — was measured and
         # rejected: the moveaxis transposes on the (S, m, N) tensor cost ~5%
         # of the m=200 step, more than the saved duplicate inversions.)
-        alpha = cholesky_solve(Kuu_chol, Kuf)  # (..., m, N)
+        alpha = cholesky_solve(Kuu_chol, Kuf, impl=impl)  # (..., m, N)
         alphaT = jnp.swapaxes(alpha, -1, -2)  # (..., N, m)
         with jax.default_matmul_precision(matmul_precision):
             # diag(Kfu Kuu^-1 Kuf) via the factored form
@@ -309,11 +310,12 @@ def _kuu_inverses(spec: ModelSpec, L_w, L_d, Va: int, m_X: int, m_G: int):
         # kl_inverse predictive keeps triangular solves — nothing would
         # consume the inverses, so don't add the dead block-loop dispatch.
         return None, None
+    impl = spec.cholesky_impl
     if m_X == m_G and Va > 0:
-        inv = tri_inverse(jnp.concatenate([L_w, L_d[None]], axis=0))
+        inv = tri_inverse(jnp.concatenate([L_w, L_d[None]], axis=0), impl=impl)
         return inv[:Va], inv[Va]
-    inv_w = tri_inverse(L_w) if Va else None
-    return inv_w, tri_inverse(L_d)
+    inv_w = tri_inverse(L_w, impl=impl) if Va else None
+    return inv_w, tri_inverse(L_d, impl=impl)
 
 
 def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
@@ -494,7 +496,7 @@ def warp_layer(
             )
             Om_a = Om_flat.reshape(Om_w_sqt.shape)
         if spec.svgp_solve_mode in ("inverse", "mixed"):
-            Linv_a = tri_inverse(L_a)
+            Linv_a = tri_inverse(L_a, impl=spec.cholesky_impl)
     elif factors is not None:
         L_a, Om_a = factors[0], factors[1]
         if len(factors) > 2:
@@ -502,7 +504,7 @@ def warp_layer(
         if spec.svgp_solve_mode in ("inverse", "mixed") and Linv_a is None and Va:
             # The predictive itself needs Linv here; in kl_inverse mode a
             # missing inverse just means the KL falls back to solves.
-            Linv_a = tri_inverse(L_a)
+            Linv_a = tri_inverse(L_a, impl=spec.cholesky_impl)
 
     def one_view(Xt, Xv, ls, var, slope, intercept, L, Om_tril_v, delta, Linv):
         Kuf = gram(Xt, Xv, ls, var, spec.kernel_warp)  # (m, Ntot); pallas at scale
@@ -515,6 +517,7 @@ def warp_layer(
             whitened=spec.whitened_variational,
             solve_mode=spec.svgp_solve_mode,
             Kuu_inv=Linv,
+            impl=spec.cholesky_impl,
         )
         return mu_t, sig, mu_z
 
@@ -672,7 +675,7 @@ def data_layer(
         L_F, Om_tril_by_mod = _data_factors(spec, hp)
         Linv_F = None
     if spec.svgp_solve_mode in ("inverse", "mixed") and Linv_F is None:
-        Linv_F = tri_inverse(L_F)
+        Linv_F = tri_inverse(L_F, impl=spec.cholesky_impl)
 
     F_latent, F_obs, Om_tril_F = {}, {}, {}
     keys = jax.random.split(key, spec.n_modalities)
@@ -702,6 +705,7 @@ def data_layer(
                 whitened=spec.whitened_variational,
                 solve_mode=spec.svgp_solve_mode,
                 Kuu_inv=Linv_F,
+                impl=spec.cholesky_impl,
             )
             return mu_t + jnp.sqrt(
                 jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)
@@ -756,7 +760,7 @@ def data_layer_moments(
         L_F, Om_tril_by_mod = _data_factors(spec, hp)
         Linv_F = None
     if spec.svgp_solve_mode in ("inverse", "mixed") and Linv_F is None:
-        Linv_F = tri_inverse(L_F)
+        Linv_F = tri_inverse(L_F, impl=spec.cholesky_impl)
 
     mu_obs, var_obs, Om_tril_F = {}, {}, {}
     for mod in spec.modalities:
@@ -775,6 +779,7 @@ def data_layer_moments(
                 whitened=spec.whitened_variational,
                 solve_mode=spec.svgp_solve_mode,
                 Kuu_inv=Linv_F,
+                impl=spec.cholesky_impl,
             )
             return mu_t, jnp.maximum(jnp.swapaxes(sig, -1, -2), _VAR_FLOOR)
 
@@ -1004,7 +1009,7 @@ def kl_divergence(
             jnp.concatenate([e[4] for e in entries], axis=0) if use_inv else None
         )
         KL = KL + jnp.sum(
-            kl_mvn_chol(mu_q_s, Om_s, mu_p_s, Lp_s, chol_p_inv=Lp_inv_s)
+            kl_mvn_chol(mu_q_s, Om_s, mu_p_s, Lp_s, chol_p_inv=Lp_inv_s, impl=spec.cholesky_impl)
         )
     return KL
 

@@ -899,7 +899,9 @@ class VariationalGPSA:
             n += lp.size
         return total / max(n, 1)
 
-    def _alignment_consistency(self, G_means: dict, k: int = 5) -> float:
+    def _alignment_consistency(
+        self, G_means: dict, k: int = 5, max_points: int = 5000
+    ) -> float:
         """Cross-view expression disagreement in aligned coordinates.
 
         For every ordered view pair (a, b) within each modality, predict
@@ -912,15 +914,29 @@ class VariationalGPSA:
         the best-possible restart on 4 of 5 difficulty-matched draws and
         near-best on the fifth (median 7.4e-4 == best-possible), where
         tail-loss picks 1.7e-3 and exact S=64 ELBO picks 2.2e-3.
+
+        Views larger than ``max_points`` spots are subsampled (both the
+        queried view and the k-d-tree view) with a FIXED seed so every
+        restart is scored on the identical spot subset — host kNN over full
+        100k+-spot views would otherwise dominate fit_multistart wall-clock
+        (measured in experiments/out/multistart_scale_100k.json: selection
+        is a few percent of wall-clock under the cap). The score is a mean
+        over ~max_points spots, so its restart-ranking power is unchanged.
         """
         from scipy.spatial import cKDTree
 
         src = self._init_args["data_dict"]
+        sub_rng = np.random.default_rng(0)  # fixed: identical across restarts
         errs = []
         for mod in self.spec.modalities:
             Ga = np.asarray(G_means[mod.name], np.float64)
             Y = _as_numpy(src[mod.name]["outputs"]).astype(np.float64)
             idx = [np.arange(lo, hi) for lo, hi in view_slices(mod.n_samples)]
+            idx = [
+                i if i.size <= max_points
+                else np.sort(sub_rng.choice(i, max_points, replace=False))
+                for i in idx
+            ]
             for a in range(len(idx)):
                 for b in range(len(idx)):
                     if a == b or idx[a].size == 0 or idx[b].size < 2:
@@ -1049,6 +1065,8 @@ class VariationalGPSA:
         holdout_frac: float = 0.1,
         ensemble_top_k: int = 1,
         vectorized: str = "auto",
+        adaptive_waves: Optional[int] = None,
+        adaptive_rtol: float = 0.05,
         **fit_kwargs,
     ) -> np.ndarray:
         """Train from ``n_restarts`` independent initializations and keep the
@@ -1097,6 +1115,19 @@ class VariationalGPSA:
         experiments/out/oracle_draw_match.json). The model itself keeps the single winning
         restart's parameters; the ensemble is a post-processing of the
         alignment output.
+
+        ``adaptive_waves`` (consistency selection + vectorized path only):
+        instead of training all ``n_restarts`` up front, train them in
+        vmapped waves of this size and STOP as soon as a new wave fails to
+        improve the best consistency score by more than ``adaptive_rtol``
+        (relative). ``n_restarts`` becomes the cap. Restart errors have a
+        heavy worst-case tail (accuracy_robustness.json: 1-restart worst
+        de-novo 0.082, 3-restart 3.1e-3) and the consistency score is
+        measured to track true error, so waves buy tail protection at the
+        marginal cost of the vectorized batch — a 4-wide wave costs ~1.2x
+        one fit, not 4x. Minimum two waves run (the first has no baseline
+        to compare against); selection and ``ensemble_top_k`` then operate
+        on every trained restart.
 
         ``vectorized`` ("auto" default): train all restarts SIMULTANEOUSLY
         by vmapping the restart axis through one scanned train loop
@@ -1154,6 +1185,20 @@ class VariationalGPSA:
                 "checkpoint-loaded model, predictive selection, or "
                 f"unsupported fit options {set(fit_kwargs) - _VEC_KEYS})"
             )
+        if adaptive_waves is not None:
+            if adaptive_waves < 1:
+                raise ValueError("adaptive_waves must be >= 1")
+            if select != "consistency":
+                raise ValueError(
+                    "adaptive_waves requires consistency selection "
+                    f"(got select={select!r})"
+                )
+            if not use_vec:
+                raise RuntimeError(
+                    "adaptive_waves needs the vectorized restart path "
+                    "(distributed/checkpoint-loaded models and unsupported "
+                    "fit options fall back to sequential training)"
+                )
 
         def _trained_restarts():
             """Yield (r, params_r, losses_r) for every restart."""
@@ -1193,7 +1238,8 @@ class VariationalGPSA:
             }
             vi, Ns, _, _ = self.create_view_idx_dict(src)
             runs = []
-            for r, params_r, losses in _trained_restarts():
+
+            def _score_run(r, params_r, losses):
                 self.params = params_r
                 G_means, _, _, _ = self.forward(X_by_mod, vi, Ns)
                 G_np = {k: np.asarray(v) for k, v in G_means.items()}
@@ -1205,7 +1251,49 @@ class VariationalGPSA:
                         flush=True,
                     )
                 if np.isfinite(score):
-                    runs.append((score, r, self.params, losses, G_np))
+                    runs.append((score, r, params_r, losses, G_np))
+
+            if adaptive_waves is not None:
+                # Waves of vmapped restarts; stop when a wave fails to improve
+                # the best score by more than adaptive_rtol (relative). The
+                # first wave has no baseline, so at least two waves run.
+                done, best_prev = 0, np.inf
+                while done < n_restarts:
+                    w = min(adaptive_waves, n_restarts - done)
+                    params_R, losses_RT = self._fit_restarts_vectorized(
+                        n_epochs, w, seed0 + done,
+                        lr=fit_kwargs.get("lr", _DEFAULT_LR),
+                        S=fit_kwargs.get("S", 5),
+                        optimizer=fit_kwargs["optimizer"],
+                        warp_temperature_schedule=fit_kwargs[
+                            "warp_temperature_schedule"
+                        ],
+                        minibatch_size=fit_kwargs.get("minibatch_size"),
+                    )
+                    for r in range(w):
+                        _score_run(
+                            done + r,
+                            jax.tree.map(lambda x, r=r: x[r], params_R),
+                            losses_RT[r],
+                        )
+                    done += w
+                    best_now = min((t[0] for t in runs), default=np.inf)
+                    if done >= n_restarts:
+                        break
+                    if np.isfinite(best_prev) and (
+                        best_now >= best_prev * (1.0 - adaptive_rtol)
+                    ):
+                        if verbose:
+                            print(
+                                f"consistency stabilized after {done} "
+                                f"restarts (best {best_now:.6f})",
+                                flush=True,
+                            )
+                        break
+                    best_prev = best_now
+            else:
+                for r, params_r, losses in _trained_restarts():
+                    _score_run(r, params_r, losses)
             if not runs:
                 raise RuntimeError(
                     "fit_multistart: no restart produced a finite "

@@ -315,16 +315,68 @@ def _broadcast_mats(a: jnp.ndarray, b: jnp.ndarray):
     )
 
 
-def tri_solve(chol: jnp.ndarray, rhs: jnp.ndarray, *, trans: bool = False) -> jnp.ndarray:
+def _trisolve_pallas_ok(impl: Optional[str], m: int, n: int, batch: int, dtype, identity_rhs: bool = False) -> bool:
+    """Whether the fused Pallas substitution kernel should take this solve.
+
+    UNLIKE the Cholesky kernel, 'auto' (the library default) resolves to
+    XLA here even on TPU: the step-level A/B (experiments/out/
+    pallas_trisolve_step_ab.json, three arms x two configs) measured the
+    fused kernel at 1.00-1.03x at the m=50 north-star (noise-band) and
+    0.95-0.96x at the m=200 Visium config — a real regression. Mechanism:
+    XLA's triangular_solve lowering already rides the MXU (it inverts each
+    128-wide diagonal block once, then applies block MATMULS), and at
+    m <= 256 there are only 1-2 diagonal blocks, so there is almost no
+    serial loop left to fuse away — while this kernel's 8-row substitution
+    panels replace those fat matmuls with a longer VPU-bound recurrence.
+    The kernel remains numerically exact vs XLA (~2e-7 rel on TPU) and is
+    kept as an EXPLICIT opt-in (per-call/spec/global impl='pallas') for
+    shapes where dispatch latency dominates.
+
+    Explicit impl -> deprecated global; 'auto' never dispatches. Shape
+    gates mirror the Pallas Cholesky's, plus a VMEM-fit check for wide
+    RHS. The same vmap caveat as _chol applies: mapped axes are invisible
+    here, so `batch` undercounts under vmapped traces (perf-only —
+    custom_vmap folds the axis into the kernel batch either way)."""
+    if impl is None or impl == "auto":
+        impl = _CHOLESKY_IMPL
+    if impl != "pallas" or dtype != jnp.float32:
+        return False
+    from . import pallas_trisolve as _pt
+
+    return (
+        m >= _pt.PALLAS_TRISOLVE_MIN_M
+        and batch >= _pt.PALLAS_TRISOLVE_MIN_BATCH
+        and _pt.fits_vmem(m, n, identity_rhs)
+    )
+
+
+def tri_solve(
+    chol: jnp.ndarray,
+    rhs: jnp.ndarray,
+    *,
+    trans: bool = False,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
     """Solve L x = rhs (or L^T x = rhs when trans) with L lower triangular.
 
     Batched; leading dims of the two args broadcast against each other.
+    With an EXPLICIT impl='pallas' (per-call, per-model spec, or global),
+    f32 slabs dispatch to the fused batched Pallas substitution kernel
+    (ops.pallas_trisolve); the 'auto' default stays on XLA, which measured
+    faster at step level (see _trisolve_pallas_ok).
     """
     chol, rhs = _broadcast_mats(chol, rhs)
+    batch = 1
+    for s in chol.shape[:-2]:
+        batch *= s
+    if _trisolve_pallas_ok(impl, chol.shape[-1], rhs.shape[-1], batch, chol.dtype):
+        from . import pallas_trisolve as _pt
+
+        return _pt.tri_solve(chol, rhs, trans)
     return jsl.solve_triangular(chol, rhs, lower=True, trans=1 if trans else 0)
 
 
-def tri_inverse(chol: jnp.ndarray) -> jnp.ndarray:
+def tri_inverse(chol: jnp.ndarray, *, impl: Optional[str] = None) -> jnp.ndarray:
     """Explicit inverse of a lower-triangular factor, batched.
 
     One m-wide triangular solve against I. TPU lowers every triangular-solve
@@ -348,18 +400,42 @@ def tri_inverse(chol: jnp.ndarray) -> jnp.ndarray:
       * one Newton refinement of X (X <- X(2I - LX)) cannot improve the f32
         residual: the refinement matmuls re-round at the same ~cond(L)*eps
         floor they try to remove (measured worse).
+
+    Under an EXPLICIT impl='pallas' this dispatches to the Pallas kernel's
+    identity-RHS specialization (no identity matrix leaves HBM); the 'auto'
+    default stays on XLA, the measured step-level winner
+    (_trisolve_pallas_ok).
     """
-    eye = jnp.eye(chol.shape[-1], dtype=chol.dtype)
+    m = chol.shape[-1]
+    batch = 1
+    for s in chol.shape[:-2]:
+        batch *= s
+    if _trisolve_pallas_ok(impl, m, m, batch, chol.dtype, identity_rhs=True):
+        from . import pallas_trisolve as _pt
+
+        return _pt.tri_inverse(chol)
+    eye = jnp.eye(m, dtype=chol.dtype)
     chol_b, eye = _broadcast_mats(chol, eye)
     return jsl.solve_triangular(chol_b, eye, lower=True)
 
 
-def cholesky_solve(chol: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+def cholesky_solve(
+    chol: jnp.ndarray, rhs: jnp.ndarray, *, impl: Optional[str] = None
+) -> jnp.ndarray:
     """Solve A x = rhs given A = L L^T (parity with torch.cholesky_solve).
 
     Batched; leading dims of the two args broadcast against each other.
+    On the (explicit-opt-in) Pallas path this is the two-substitution form
+    L^T \\ (L \\ rhs) — same algorithm as cho_solve, fused dispatches.
     """
     chol, rhs = _broadcast_mats(chol, rhs)
+    batch = 1
+    for s in chol.shape[:-2]:
+        batch *= s
+    if _trisolve_pallas_ok(impl, chol.shape[-1], rhs.shape[-1], batch, chol.dtype):
+        from . import pallas_trisolve as _pt
+
+        return _pt.tri_solve(chol, _pt.tri_solve(chol, rhs, False), True)
     return jsl.cho_solve((chol, True), rhs)
 
 
@@ -396,6 +472,8 @@ def kl_mvn_chol(
     mu_p: jnp.ndarray,
     chol_p: jnp.ndarray,
     chol_p_inv: Optional[jnp.ndarray] = None,
+    *,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """KL( N(mu_q, Lq Lq^T) || N(mu_p, Lp Lp^T) ), batched over leading dims.
 
@@ -424,7 +502,7 @@ def kl_mvn_chol(
     if chol_p_inv is not None:
         sol = chol_p_inv @ rhs
     else:
-        sol = tri_solve(chol_p, rhs)
+        sol = tri_solve(chol_p, rhs, impl=impl)
     trace_term = jnp.sum(jnp.square(sol[..., :k]), axis=(-2, -1))
     quad = jnp.sum(jnp.square(sol[..., k:]), axis=(-2, -1))
     logdet = chol_logdet(chol_p) - chol_logdet(chol_q)

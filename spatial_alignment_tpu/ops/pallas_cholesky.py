@@ -247,6 +247,23 @@ def _chol_fwd(a):
     return L, L
 
 
+def _trans_solve(L, rhs):
+    """L^-T rhs — via the fused Pallas substitution kernel ONLY when the
+    deprecated global impl is explicitly 'pallas' (impl=None -> global
+    resolution in the shared gate; 'auto' stays on XLA, the measured
+    step-level winner — see linalg._trisolve_pallas_ok)."""
+    from . import linalg as _lin
+    from . import pallas_trisolve as _pt
+
+    m, n = L.shape[-1], rhs.shape[-1]
+    batch = 1
+    for s in L.shape[:-2]:
+        batch *= s
+    if _lin._trisolve_pallas_ok(None, m, n, batch, L.dtype):
+        return _pt.tri_solve(L, rhs, True)
+    return jsl.solve_triangular(jnp.swapaxes(L, -1, -2), rhs, lower=False)
+
+
 def _chol_bwd(L, Lbar):
     # Murray (2016): with S = L^T Lbar and Phi(X) = tril(X) - diag(X)/2,
     # Abar = (1/2) L^-T (Phi(S) + Phi(S)^T) L^-1, which is symmetric.
@@ -255,14 +272,9 @@ def _chol_bwd(L, Lbar):
     eye = jnp.eye(L.shape[-1], dtype=L.dtype)
     P = jnp.tril(S) - 0.5 * eye * diag[..., None, :]
     Psym = P + jnp.swapaxes(P, -1, -2)
-    Lt = jnp.swapaxes(L, -1, -2)
-    # X = L^-T Psym L^-1 via two triangular solves.
-    tmp = jsl.solve_triangular(Lt, Psym, lower=False)  # L^-T Psym
-    X = jnp.swapaxes(
-        jsl.solve_triangular(Lt, jnp.swapaxes(tmp, -1, -2), lower=False),
-        -1,
-        -2,
-    )
+    # X = L^-T Psym L^-1 via two triangular solves (fused kernel when gated).
+    tmp = _trans_solve(L, Psym)  # L^-T Psym
+    X = jnp.swapaxes(_trans_solve(L, jnp.swapaxes(tmp, -1, -2)), -1, -2)
     # X is already symmetric (Psym is); average only to clean fp asymmetry.
     return (0.25 * (X + jnp.swapaxes(X, -1, -2)),)
 

@@ -626,6 +626,60 @@ def test_fit_multistart_consistency_select(two_view_data):
     assert m.ensemble_G_means_ is None
 
 
+def test_fit_multistart_adaptive_waves(two_view_data, capsys):
+    """adaptive_waves trains vmapped waves and stops once the best
+    consistency score stabilizes: with a huge rtol the second wave can never
+    'improve', so exactly two waves (4 of the 6 allowed restarts) run."""
+    m = _tiny_model(two_view_data, seed=0)
+    losses = m.fit_multistart(
+        n_epochs=40, n_restarts=6, S=2, adaptive_waves=2,
+        adaptive_rtol=0.99, select="consistency", verbose=True,
+    )
+    out = capsys.readouterr().out
+    n_scored = out.count(": consistency ")
+    assert "stabilized" in out
+    assert n_scored == 4, out
+    assert losses.shape == (40,) and np.isfinite(losses).all()
+    assert np.isfinite(m.neg_elbo(S=2))
+    # rtol <= 0 never sees an 'improvement' smaller than the bar, so every
+    # wave runs to the cap (and the cap is not exceeded).
+    m2 = _tiny_model(two_view_data, seed=0)
+    m2.fit_multistart(
+        n_epochs=40, n_restarts=3, S=2, adaptive_waves=2,
+        adaptive_rtol=-1e9, select="consistency", verbose=True,
+    )
+    out2 = capsys.readouterr().out
+    assert out2.count(": consistency ") == 3  # waves of 2 + 1, capped
+    # invalid combinations fail loudly
+    with np.testing.assert_raises(ValueError):
+        m.fit_multistart(n_epochs=5, n_restarts=4, adaptive_waves=2,
+                         select="loss")
+    with np.testing.assert_raises(RuntimeError):
+        m.fit_multistart(n_epochs=5, n_restarts=4, adaptive_waves=2,
+                         select="consistency", vectorized=False)
+
+
+def test_alignment_consistency_subsample(two_view_data):
+    """The >max_points subsample is fixed-seed (identical across calls, so
+    restart scores stay comparable) and still produces a finite score."""
+    m = _tiny_model(two_view_data, seed=0)
+    m.fit(20, S=2)
+    data = m._init_args["data_dict"]
+    vi, Ns, _, _ = m.create_view_idx_dict(data)
+    G_means, _, _, _ = m.forward(
+        {"expression": np.asarray(
+            data["expression"]["spatial_coords"], np.float32)},
+        vi, Ns,
+    )
+    G_np = {k: np.asarray(v) for k, v in G_means.items()}
+    s_full = m._alignment_consistency(G_np)
+    s_sub1 = m._alignment_consistency(G_np, max_points=10)
+    s_sub2 = m._alignment_consistency(G_np, max_points=10)
+    assert np.isfinite(s_full) and np.isfinite(s_sub1)
+    assert s_sub1 == s_sub2  # fixed-seed subsample: deterministic
+    assert s_sub1 != s_full  # and it really did subsample
+
+
 def test_holdout_split_respects_template(two_view_data):
     m = _tiny_model(two_view_data, seed=0, fixed_view_idx=0)
     rng = np.random.default_rng(0)
