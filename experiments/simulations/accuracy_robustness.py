@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--ensemble-top-k", type=int, default=1,
                     help="average aligned coords over the top-k restarts "
                     "(consistency selection only)")
+    ap.add_argument("--adaptive-waves", type=int, default=None,
+                    help="adaptive restart waves of this size; --restarts "
+                    "becomes the cap (fit_multistart adaptive_waves)")
     args = ap.parse_args()
 
     rows = []
@@ -48,13 +51,17 @@ def main():
         obs = view_error(X, view_idx)
         row = {"seed": seed, "observed_error": obs}
         for mode, fixed in (("denovo", None), ("template", 0)):
+            import time as _time
+            t0 = _time.time()
             aligned = two_d_gpsa(
                 X, Y, nsl, args.epochs, {"expression": 5},
                 fixed_view_idx=fixed, seed=seed, recipe="accurate",
                 n_restarts=args.restarts, select=args.select,
                 ensemble_top_k=args.ensemble_top_k,
+                adaptive_waves=args.adaptive_waves,
             )
             row[f"{mode}_error"] = view_error(aligned, view_idx)
+            row[f"{mode}_seconds"] = _time.time() - t0
         print(json.dumps(row), flush=True)
         rows.append(row)
 
@@ -72,7 +79,10 @@ def main():
         "n_restarts": args.restarts,
         "select": args.select,
         "ensemble_top_k": args.ensemble_top_k,
+        "adaptive_waves": args.adaptive_waves,
         "denovo": stats("denovo_error"),
+        "denovo_seconds": stats("denovo_seconds"),
+        "template_seconds": stats("template_seconds"),
         "template": stats("template_error"),
         "observed": stats("observed_error"),
         "reference": {
@@ -89,6 +99,8 @@ def main():
     )
     if args.select != "loss":
         name += f"_{args.select}"
+    if args.adaptive_waves:
+        name += f"_adaptive{args.adaptive_waves}"
     with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: out[k] for k in ("denovo", "template", "observed")}, indent=2))
