@@ -96,27 +96,49 @@ class ForwardResult(NamedTuple):
 _REMAT_QUAD_MIN_ELEMS = None  # disabled (int threshold to enable)
 
 
-def _quad_diag(xT: jnp.ndarray, factors: jnp.ndarray, precision: str) -> jnp.ndarray:
+def _quad_diag(
+    xT: jnp.ndarray, factors: jnp.ndarray, precision: str,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
     """Per-point quadratic-form diagonals sum_k (xT @ factors)^2 -> (..., B, N).
 
     xT is (..., N, m); factors is (B, m, m) (per-channel covariance factors).
+    Models opted into ``quad_diag_impl="pallas"`` dispatch large TPU shapes
+    to the fused Pallas kernel + recompute VJP (ops.pallas_quad) — the
+    (..., B, N, m) product tensor then never materializes in HBM. The
+    default ("auto" -> "xla": the kernel lost its step A/B,
+    quad_pallas_step_ab.json) keeps this inline jnp form, whose gradients
+    are XLA autodiff (bit-identical to the pre-kernel library).
     """
+    from ..ops import pallas_quad
+
+    if pallas_quad.would_dispatch(xT, factors, impl):
+        return pallas_quad.quad_diag(xT, factors, precision)
     with jax.default_matmul_precision(precision):
         t = jnp.expand_dims(xT, -3) @ factors  # (..., B, N, m)
     return jnp.sum(jnp.square(t), axis=-1)
 
 
 def _quad_diag_maybe_remat(
-    xT: jnp.ndarray, factors: jnp.ndarray, precision: str
+    xT: jnp.ndarray, factors: jnp.ndarray, precision: str,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
+    from ..ops import pallas_quad
+
+    if pallas_quad.would_dispatch(xT, factors, impl):
+        # The fused kernel already recomputes per tile in VMEM — remat on
+        # top would only re-run the dispatch machinery.
+        return pallas_quad.quad_diag(xT, factors, precision)
     batch = 1
     for s in xT.shape[:-2]:
         batch *= s
     B = factors.shape[-3]
     elems = batch * B * xT.shape[-2] * xT.shape[-1]
     if _REMAT_QUAD_MIN_ELEMS is not None and elems >= _REMAT_QUAD_MIN_ELEMS:
-        return jax.checkpoint(lambda a, f: _quad_diag(a, f, precision))(xT, factors)
-    return _quad_diag(xT, factors, precision)
+        return jax.checkpoint(
+            lambda a, f: _quad_diag(a, f, precision, impl)
+        )(xT, factors)
+    return _quad_diag(xT, factors, precision, impl)
 
 
 def svgp_mean_var(
@@ -129,10 +151,12 @@ def svgp_mean_var(
     Omega_tril: jnp.ndarray,  # (B, m, m) — per output-channel covariance factors
     diagonal_offset: float,
     matmul_precision: str = "highest",
+    variance_precision: str = "follow",
     whitened: bool = False,
     solve_mode: str = "solve",
     Kuu_inv: Optional[jnp.ndarray] = None,
     impl: Optional[str] = None,
+    quad_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SVGP marginal posterior at the Kuf columns.
 
@@ -166,7 +190,17 @@ def svgp_mean_var(
     both faster than "inverse" and mean-exact like "solve".
     ``Kuu_inv`` supplies a precomputed chol(Kuu)^-1 (e.g. from the shared
     :func:`compute_factors` pass) so no solve runs here at all.
+
+    ``variance_precision`` applies only to the products that feed the
+    VARIANCE terms (the diag quadratic forms alpha^T Omega / half^T C and the
+    solve path's alpha^T L) — the real-data step's FLOP peak, ~27% of m=200
+    device time (op_profile_visium.json) — while the predictive mean keeps
+    ``matmul_precision``. "follow" inherits ``matmul_precision``
+    (bit-identical to the single-knob behavior); "default" is 1-pass bf16.
+    A/B: experiments/out/variance_precision_ab.json.
     """
+    if variance_precision == "follow":
+        variance_precision = matmul_precision
     inverse = solve_mode == "inverse"
     if inverse or (solve_mode == "mixed" and not whitened):
         # (..., m, m) — the step's only block-loop solve, unless shared
@@ -181,7 +215,9 @@ def svgp_mean_var(
         aKa = jnp.sum(jnp.square(alphaT), axis=-1)  # (..., N)
         with jax.default_matmul_precision(matmul_precision):
             mu_tilde = mu_x + alphaT @ delta  # (..., N, C)
-        aOa = _quad_diag_maybe_remat(alphaT, Omega_tril, matmul_precision)
+        aOa = _quad_diag_maybe_remat(
+            alphaT, Omega_tril, variance_precision, quad_impl
+        )
     elif solve_mode == "mixed":
         with jax.default_matmul_precision("highest"):
             half = Linv @ Kuf  # (..., m, N) = L^-1 Kuf
@@ -197,7 +233,7 @@ def svgp_mean_var(
             # the m x m channel factors so alpha^T is never materialized.
             C_om = jnp.expand_dims(Linv, -3) @ Omega_tril  # (..., B, m, m)
         aOa = _quad_diag_maybe_remat(
-            jnp.swapaxes(half, -1, -2), C_om, matmul_precision
+            jnp.swapaxes(half, -1, -2), C_om, variance_precision, quad_impl
         )
     elif inverse:
         with jax.default_matmul_precision("highest"):
@@ -209,7 +245,9 @@ def svgp_mean_var(
         aKa = jnp.sum(jnp.square(half), axis=-2)  # (..., N)
         with jax.default_matmul_precision(matmul_precision):
             mu_tilde = mu_x + alphaT @ (delta - mu_z)  # (..., N, C)
-        aOa = _quad_diag_maybe_remat(alphaT, Omega_tril, matmul_precision)
+        aOa = _quad_diag_maybe_remat(
+            alphaT, Omega_tril, variance_precision, quad_impl
+        )
     else:
         # (Flattening the S batch into the RHS width when the factor is
         # shared — one diag-block inversion instead of S — was measured and
@@ -217,13 +255,16 @@ def svgp_mean_var(
         # of the m=200 step, more than the saved duplicate inversions.)
         alpha = cholesky_solve(Kuu_chol, Kuf, impl=impl)  # (..., m, N)
         alphaT = jnp.swapaxes(alpha, -1, -2)  # (..., N, m)
-        with jax.default_matmul_precision(matmul_precision):
+        with jax.default_matmul_precision(variance_precision):
             # diag(Kfu Kuu^-1 Kuf) via the factored form
             a_t_K = alphaT @ Kuu_chol
             aKa = jnp.sum(jnp.square(a_t_K), axis=-1)  # (..., N)
+        with jax.default_matmul_precision(matmul_precision):
             mu_tilde = mu_x + alphaT @ (delta - mu_z)  # (..., N, C)
         # per-channel: alpha^T Omega_tril, batched over B
-        aOa = _quad_diag_maybe_remat(alphaT, Omega_tril, matmul_precision)
+        aOa = _quad_diag_maybe_remat(
+            alphaT, Omega_tril, variance_precision, quad_impl
+        )
     sigma = (
         jnp.expand_dims(kff_diag, -2)
         - jnp.expand_dims(aKa, -2)
@@ -514,6 +555,8 @@ def warp_layer(
         mu_t, sig = svgp_mean_var(
             kff, Kuf, L, mu_x, mu_z, delta, Om_tril_v, eps,
             matmul_precision=spec.svgp_matmul_precision,
+            variance_precision=spec.svgp_variance_precision,
+            quad_impl=spec.quad_diag_impl,
             whitened=spec.whitened_variational,
             solve_mode=spec.svgp_solve_mode,
             Kuu_inv=Linv,
@@ -702,6 +745,8 @@ def data_layer(
             mu_t, sig = svgp_mean_var(
                 kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps,
                 matmul_precision=spec.svgp_matmul_precision,
+                variance_precision=spec.svgp_variance_precision,
+                quad_impl=spec.quad_diag_impl,
                 whitened=spec.whitened_variational,
                 solve_mode=spec.svgp_solve_mode,
                 Kuu_inv=Linv_F,
@@ -776,6 +821,8 @@ def data_layer_moments(
             mu_t, sig = svgp_mean_var(
                 kff, Kuf, L_F, jnp.zeros(()), jnp.zeros(()), delta, Om_tril, eps,
                 matmul_precision=spec.svgp_matmul_precision,
+                variance_precision=spec.svgp_variance_precision,
+                quad_impl=spec.quad_diag_impl,
                 whitened=spec.whitened_variational,
                 solve_mode=spec.svgp_solve_mode,
                 Kuu_inv=Linv_F,
@@ -845,6 +892,8 @@ def impute_at(
             data_aux.Omega_tril[mod.name],
             eps,
             matmul_precision=spec.svgp_matmul_precision,
+            variance_precision=spec.svgp_variance_precision,
+            quad_impl=spec.quad_diag_impl,
             whitened=spec.whitened_variational,
             solve_mode=spec.svgp_solve_mode,
             Kuu_inv=data_aux.Kuu_inv,

@@ -81,6 +81,23 @@ class ModelSpec:
     # resolves to "high" at >= 2000 total points, "highest" below (the spec
     # always stores the resolved value).
     svgp_matmul_precision: str = "highest"
+    # MXU precision for the SVGP *variance-term* products only — the
+    # O(S L N m^2) diag quadratic forms (alpha^T Omega factors, squared and
+    # row-summed) plus the solve path's alpha^T L. These dominate the
+    # real-data step's FLOPs (the two projection fusions are ~27% of m=200
+    # device time, op_profile_visium.json) but only feed sigma through sums
+    # of squares, while the predictive MEAN keeps svgp_matmul_precision.
+    # "follow" = inherit svgp_matmul_precision (bit-identical to the
+    # pre-knob behavior); "default" = 1-pass bf16, ~3x fewer MXU passes
+    # than "high" on those products. build_spec's "auto" default resolves
+    # to "default" exactly where svgp_matmul_precision resolves to "high"
+    # (>= 2000 total points): measured +13-16% steps/s at m=200/N=4050
+    # with convergence-level accuracy parity over 8 restarts x 2 seeds
+    # (median aligned error RATIO 0.83-0.86 in bf16's favor; TPU fwd/vjp
+    # numerics 3e-7 rel — the squared-sum structure cancels the rounding).
+    # A/B: experiments/out/variance_precision_ab.json,
+    # quad_pallas_step_ab.json arms xla+{follow,default}.
+    svgp_variance_precision: str = "follow"
     # How Kuu^-1 is applied (SVGP predictive + the KL's prior solve):
     # "solve" = per-use triangular solves (backward-stable;
     # reference-equivalent); "kl_inverse" = predictive keeps solves, the KL
@@ -140,6 +157,18 @@ class ModelSpec:
     # their own choice). The deprecated ``linalg.set_cholesky_impl`` global
     # still overrides models left at "auto".
     cholesky_impl: str = "auto"
+    # Which implementation the SVGP variance quadratic forms use: "xla"
+    # (what "auto" resolves to today) = the inline jnp form, XLA autodiff;
+    # "pallas" = the fused quad-diag kernel + recompute VJP
+    # (ops/pallas_quad.py) on the TPU backend where the materialized
+    # (..., L, N, m) product tensor is large. The kernel is correct and
+    # HBM-minimal but MEASURED SLOWER than XLA's fused lowering at the
+    # m=200/N=4050 real-data step (371 vs 397 steps/s at 1-pass variance
+    # precision, 282 vs 342 at 3-pass — quad_pallas_step_ab.json), so it
+    # stays opt-in. parallel.distribute() additionally pins sharded models
+    # to "xla" on ITS spec (the point axis is the sharded axis and the
+    # kernel has no custom_partitioning rule).
+    quad_diag_impl: str = "xla"
 
     # ---- derived helpers -------------------------------------------------
     @property
@@ -223,10 +252,12 @@ def build_spec(
     data_chunk_size=None,
     analytic_data_likelihood: bool = False,
     svgp_matmul_precision: str = "auto",
+    svgp_variance_precision: str = "auto",
     svgp_solve_mode: str = "auto",
     triangular_variational: bool = False,
     whitened_variational: bool = False,
     cholesky_impl: str = "auto",
+    quad_diag_impl: str = "auto",
 ) -> ModelSpec:
     """Derive a ModelSpec from a reference-format data_dict.
 
@@ -283,6 +314,23 @@ def build_spec(
         total_points = sum(sum(m.n_samples) for m in modalities)
         svgp_matmul_precision = "high" if total_points >= 2000 else "highest"
 
+    if svgp_variance_precision == "auto":
+        # Resolve WITH the matmul gate: wherever the projections run bf16
+        # 3-pass ("high"), the variance-only products drop to 1-pass bf16 —
+        # +13-16% steps/s at m=200/N=4050 with convergence-parity medians
+        # over 8 restarts x 2 seeds (variance_precision_ab.json; the sigma
+        # terms are sums of squares, so the 1-pass rounding cancels to
+        # ~3e-7 rel on TPU). Where matmul stays exact f32 ("highest" —
+        # small latency-bound configs), "follow" keeps variance exact too.
+        svgp_variance_precision = (
+            "default" if svgp_matmul_precision == "high" else "follow"
+        )
+    if svgp_variance_precision not in ("follow", "default", "high", "highest"):
+        raise ValueError(
+            "svgp_variance_precision must be 'auto', 'follow', 'default', "
+            f"'high' or 'highest', got {svgp_variance_precision!r}"
+        )
+
     if svgp_solve_mode == "auto":
         # Both resolutions share the factor pass's explicit chol(Kuu)^-1 for
         # the KL's prior solve (accuracy-neutral at convergence in BOTH
@@ -313,6 +361,16 @@ def build_spec(
     if cholesky_impl not in ("auto", "xla", "pallas"):
         raise ValueError(
             f"cholesky_impl must be 'auto', 'xla' or 'pallas', got {cholesky_impl!r}"
+        )
+    if quad_diag_impl == "auto":
+        # The fused Pallas quad kernel is measured SLOWER than XLA's fused
+        # lowering at every probed scale (quad_pallas_step_ab.json), so
+        # auto resolves to the XLA path; "pallas" stays as an explicit
+        # opt-in (exact per-tile recompute VJP, minimal HBM).
+        quad_diag_impl = "xla"
+    if quad_diag_impl not in ("xla", "pallas"):
+        raise ValueError(
+            f"quad_diag_impl must be 'auto', 'xla' or 'pallas', got {quad_diag_impl!r}"
         )
 
     if fixed_view_idx is None:
@@ -345,10 +403,12 @@ def build_spec(
         data_chunk_size=data_chunk_size,
         analytic_data_likelihood=analytic_data_likelihood,
         svgp_matmul_precision=svgp_matmul_precision,
+        svgp_variance_precision=svgp_variance_precision,
         svgp_solve_mode=svgp_solve_mode,
         triangular_variational=triangular_variational,
         whitened_variational=whitened_variational,
         cholesky_impl=cholesky_impl,
+        quad_diag_impl=quad_diag_impl,
     )
 
 

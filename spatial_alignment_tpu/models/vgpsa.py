@@ -182,10 +182,12 @@ class VariationalGPSA:
         data_chunk_size: Optional[int] = None,
         analytic_data_likelihood: bool = False,
         svgp_matmul_precision: str = "auto",
+        svgp_variance_precision: str = "auto",
         svgp_solve_mode: str = "auto",
         triangular_variational: bool = False,
         whitened_variational: bool = False,
         cholesky_impl: str = "auto",
+        quad_diag_impl: str = "auto",
     ):
         del n_spatial_dims, minmax_init  # shape-driven / dead (SURVEY.md §2.4.5-6)
         spec = build_spec(
@@ -208,10 +210,12 @@ class VariationalGPSA:
             data_chunk_size=data_chunk_size,
             analytic_data_likelihood=analytic_data_likelihood,
             svgp_matmul_precision=svgp_matmul_precision,
+            svgp_variance_precision=svgp_variance_precision,
             svgp_solve_mode=svgp_solve_mode,
             triangular_variational=triangular_variational,
             whitened_variational=whitened_variational,
             cholesky_impl=cholesky_impl,
+            quad_diag_impl=quad_diag_impl,
         )
         self.params, self.consts, self.spec = init_params(
             spec,
@@ -252,10 +256,12 @@ class VariationalGPSA:
             data_chunk_size=data_chunk_size,
             analytic_data_likelihood=analytic_data_likelihood,
             svgp_matmul_precision=svgp_matmul_precision,
+            svgp_variance_precision=svgp_variance_precision,
             svgp_solve_mode=svgp_solve_mode,
             triangular_variational=triangular_variational,
             whitened_variational=whitened_variational,
             cholesky_impl=cholesky_impl,
+            quad_diag_impl=quad_diag_impl,
         )
 
         # Reference-parity bookkeeping attributes (used by plotting callbacks)

@@ -96,6 +96,14 @@ def distribute(model, mesh: Mesh):
     propagates the committed input shardings and inserts the gradient
     all-reduce over ICI. Returns the model (mutated in place).
     """
+    # The fused quad-diag kernel (ops/pallas_quad.py — opt-in only; "auto"
+    # already resolves to "xla" after it lost its step A/B) has no
+    # custom_partitioning rule, and its xT operand carries the data-sharded
+    # point axis — if a user opted a model into "pallas" and then
+    # distributed it, the SPMD partitioner would all-gather every shard's
+    # points around the kernel. Per-model spec edit, same pattern as
+    # merged_factor_dispatch below (never a process global).
+    model.spec = dataclasses.replace(model.spec, quad_diag_impl="xla")
     n_model = mesh.shape[MODEL_AXIS]
     if n_model > 1 and any(
         mod.n_latent % n_model == 0 for mod in model.spec.modalities

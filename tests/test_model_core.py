@@ -395,6 +395,76 @@ def test_svgp_matmul_precision_knob(two_view_data):
     np.testing.assert_allclose(e_hi, e_fast, rtol=1e-6)
 
 
+def test_svgp_variance_precision_knob(two_view_data):
+    """The variance-term precision sub-knob threads through; "follow"
+    (default) is bit-identical to the single-knob behavior, an explicit
+    value produces a finite ELBO, and old checkpoint manifests without the
+    field load with the default (TPU accuracy/throughput A/B:
+    experiments/out/variance_precision_ab.json)."""
+    import spatial_alignment_tpu as sat
+    from spatial_alignment_tpu.models.spec import spec_from_dict, spec_to_dict
+
+    def build(**kw):
+        return sat.VariationalGPSA(
+            two_view_data, m_X_per_view=6, m_G=6,
+            n_latent_gps={"expression": None}, seed=0, **kw,
+        )
+
+    m_plain = build()
+    m_follow = build(svgp_variance_precision="follow")
+    m_bf16 = build(svgp_variance_precision="default")
+    assert m_plain.spec.svgp_variance_precision == "follow"
+    k = jax.random.PRNGKey(0)
+    e = [
+        float(core.negative_elbo(m.spec, m.params, m.consts, m._batch, k, 2))
+        for m in (m_plain, m_follow, m_bf16)
+    ]
+    assert e[0] == e[1]  # follow == pre-knob behavior, bit-identical
+    assert np.isfinite(e[2])
+    d = spec_to_dict(m_bf16.spec)
+    assert spec_from_dict(d) == m_bf16.spec
+    d.pop("svgp_variance_precision")
+    assert spec_from_dict(d).svgp_variance_precision == "follow"
+    with pytest.raises(ValueError):
+        build(svgp_variance_precision="bogus")
+
+
+def test_svgp_variance_precision_auto_resolution(two_view_data):
+    """"auto" (the default) resolves WITH the matmul gate: "default"
+    (1-pass bf16 variance terms, measured +13-16% steps/s at m=200/N=4050
+    with convergence-parity medians, variance_precision_ab.json) exactly
+    where svgp_matmul_precision resolves to "high" (>= 2000 total points),
+    "follow" below."""
+    import spatial_alignment_tpu as sat
+    from spatial_alignment_tpu.models.spec import build_spec
+
+    m_small = sat.VariationalGPSA(
+        two_view_data, m_X_per_view=6, m_G=6,
+        n_latent_gps={"expression": None}, seed=0,
+    )
+    assert m_small.spec.svgp_variance_precision == "follow"
+
+    big = {
+        "expression": {
+            "spatial_coords": np.zeros((2400, 2), np.float32),
+            "outputs": np.zeros((2400, 3), np.float32),
+            "n_samples_list": [1200, 1200],
+        }
+    }
+    assert build_spec(big, m_X_per_view=6, m_G=6).svgp_variance_precision == "default"
+    # an explicit matmul precision doesn't stop the variance gate — it keys
+    # off the RESOLVED matmul value
+    spec_hi = build_spec(
+        big, m_X_per_view=6, m_G=6, svgp_matmul_precision="highest"
+    )
+    assert spec_hi.svgp_variance_precision == "follow"
+    # explicit user choice always wins
+    spec_explicit = build_spec(
+        big, m_X_per_view=6, m_G=6, svgp_variance_precision="highest"
+    )
+    assert spec_explicit.svgp_variance_precision == "highest"
+
+
 def test_svgp_matmul_precision_auto_resolution(two_view_data):
     """The "auto" default resolves by data size: exact f32 ("highest") below
     2000 total points, bf16 3-pass ("high") at or above (convergence-parity
