@@ -11,36 +11,54 @@ traffic per step; the three fusions carrying it are ~39% of device step
 time, op_profile_visium.json / /tmp profile of the mixed-mode step).
 
 This kernel is the flash-attention-style fix: tile the point axis, keep
-``t`` for one (tile_n, m) block in VMEM, reduce it on the spot, and in the
-custom VJP *recompute* that block instead of reloading it — HBM traffic
-drops to reading x twice + writing dx once (~50 MB at the config above).
-The contraction itself rides the MXU at a caller-chosen precision
+``t`` for one block in VMEM, reduce it on the spot, and in the custom VJP
+*recompute* that block instead of reloading it — HBM traffic drops to
+reading x twice + writing dx once (~50 MB at the config above). The
+contraction itself rides the MXU at a caller-chosen precision
 (``jax.lax.Precision``), matching the library's svgp_{matmul,variance}
 _precision semantics.
 
-Layout notes (see /opt/skills/guides/pallas_guide.md):
-* grid = (G, N_tiles) with G = flattened leading batch dims of x; the
-  channel loop (L <= _MAX_L) is statically unrolled inside the kernel, so
-  every MXU call is a fat (tile_n, m) x (m, m) matmul.
-* dF accumulates across ALL grid steps into one VMEM-resident (L, m, m)
-  block (constant index_map; TPU grid steps are sequential), initialized at
-  the first program — the standard revisited-output reduction pattern.
-* All padding is exact: zero rows of x produce zero rows of t (zero
-  contribution to every output), so no masking is needed.
+KERNEL SHAPE (v2.1, "fat-dot"): all leading batch dims and the point axis
+flatten into ONE row axis (grid = rows/tile); the factors are stacked
+OUTSIDE the kernel into ``Fcat[i, k*L+b] = F[b, i, k]`` (k-major lanes)
+so each grid step is pure fat MXU work with no in-kernel loops, reshapes,
+or transposes: forward ``t = x @ Fcat`` then a per-channel lane-group sum
+as selector dots (see _sum_per_channel); backward recomputes ``t``,
+broadcasts dy with a pure VPU ``pltpu.repeat`` (tile semantics — that is
+what k-major lanes buy), and finishes with two fat dots ``dx = w Fcat^T``
+(dim1-dim1) and ``dFcat += x^T w``. dFcat accumulates across grid steps
+in one VMEM-resident block (constant index_map; TPU grid steps are
+sequential), initialized at the first program. Channel-major layout fixes
+ride tiny XLA transposes outside the kernel (~1 MB at the real-data
+config). Point-padding is exact (zero rows of x contribute zero), and the
+point tile halves until the live (tile, m*L) temporaries fit Mosaic's
+16 MB scoped-vmem stack (see _pick_tile; undersized tiles were v2.0's
+other mistake — tile=128 ran the backward at ~20% MXU efficiency).
 
-MEASURED OUTCOME (real TPU, experiments/out/quad_pallas_step_ab.json):
-the kernel is numerically exact (1.8e-7 rel fwd, 6.4e-7 vjp at f32) but
-LOSES to XLA's fused lowering at the very config it targets — 371 vs 397
-steps/s at 1-pass variance precision, 282 vs 342 at 3-pass. The per-tile
-channel loop issues 10 skinny (512, m) x (m, m) dots per grid step where
-XLA pipelines one fat reshaped contraction, and the HBM traffic it saves
-is already hidden by XLA's fusion overlap at this arithmetic intensity.
-``ModelSpec.quad_diag_impl="auto"`` therefore resolves to "xla"; the
-kernel stays as an explicit opt-in ("pallas") and as the recorded bound
-for this optimization direction (same protocol as the rejected Pallas
-triangular solve, ops/pallas_trisolve.py). Distributed models are pinned
-to "xla" by ``parallel.distribute()`` regardless — the point axis is the
-sharded axis and this kernel has no custom_partitioning rule.
+Version history, all measured on the real chip at the target config:
+v1 (per-channel dot loop) step A/B 371 vs XLA 397 steps/s; v2.0 (fat dots
+but HIGHEST-precision selector dots + starved tiles) op-level f+b 1273us
+vs XLA 806us; v2.1 (this file) 1073us vs 695us wall / bwd-kernel 477us
+device vs XLA-chain 310us device.
+
+Distributed models are pinned to "xla" by ``parallel.distribute()`` —
+the point axis is the sharded axis and this kernel has no
+custom_partitioning rule.
+
+MEASURED OUTCOME — REJECTED AS A DEFAULT, and why that is final: the op
+is MXU FLOP-BOUND at these shapes, not HBM-bound. XLA's three fusions
+(t-producing forward + two VJP contractions) each run at ~85-95% of bf16
+MXU peak INCLUDING the 162 MB round-trip (device profile: 110/110/90 us
+against an 85 us/dot FLOP floor) — the compiler fully overlaps the HBM
+traffic this kernel was built to eliminate, so the recompute-VJP saves
+bandwidth the program doesn't need while paying the recompute dot and
+K-padding (m=200 -> 256) on top. The kernel's own floor (3 fat dots +
+VPU) equals XLA's measured time; no tiling can beat it. "auto" therefore
+resolves to "xla"; "pallas" stays as an explicit opt-in (useful where
+HBM pressure, not time, binds) and as the recorded bound for this
+direction (same protocol as the rejected Pallas triangular solve,
+ops/pallas_trisolve.py). Step-level A/B:
+experiments/out/quad_pallas_step_ab.json.
 
 The jnp fallback below is numerically identical math (same contraction
 order) for CPU/interpret and small shapes.
@@ -125,29 +143,55 @@ def _dot_prec(a, b, dims, precision: str):
     return dd(ah, bh) + (dd(ah, bl) + dd(al, bh))
 
 
-def _fwd_body(L, prec, x_ref, f_ref, o_ref):
-    x = x_ref[0]  # (tile_n, m)
-    for b in range(L):  # static unroll: one fat MXU matmul per channel
-        t = _dot_prec(x, f_ref[b], (((1,), (0,)), ((), ())), prec)
-        o_ref[0, b, :] = jnp.sum(t * t, axis=-1)
+def _sum_per_channel(t2, e_ref):
+    """Per-channel lane-group sum of t2 (tile, m*L) -> (tile, L) via the 0/1
+    selector, as THREE 1-pass bf16 MXU dots on a hi/mid/lo split of t2.
+
+    The split recovers ~24 significand bits (8 per bf16 term), so against
+    an f32 sum this is accurate to f32's own rounding scale (~2^-24 rel per
+    element; E entries are 0/1, exact in bf16, and every partial dot
+    accumulates in f32). A single HIGHEST f32 dot here was the v2.0
+    kernel's hidden cost — ~6 MXU passes against a 128-padded 10-lane
+    output; a 2-term split measured 1.5e-5 rel, failing the "highest"
+    numerics bar.
+    """
+    hi = t2.astype(jnp.bfloat16)
+    r1 = t2 - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    e = e_ref[...].astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    d = lambda a: jax.lax.dot_general(
+        a, e, dims, precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+    return d(hi) + (d(mid) + d(lo))
 
 
-def _bwd_body(L, prec, x_ref, f_ref, dy_ref, dx_ref, df_ref):
-    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+def _fwd_body(prec, x_ref, fcat_ref, e_ref, o_ref):
+    x = x_ref[...]  # (tile_n, m)
+    # one fat MXU contraction for ALL channels: (tile, m) @ (m, m*L)
+    t = _dot_prec(x, fcat_ref[...], (((1,), (0,)), ((), ())), prec)
+    o_ref[...] = _sum_per_channel(t * t, e_ref)  # (tile_n, L)
+
+
+def _bwd_body(L, prec, x_ref, fcat_ref, dy_ref, dx_ref, df_ref):
+    @pl.when(pl.program_id(0) == 0)
     def _init():
         df_ref[...] = jnp.zeros_like(df_ref)
 
-    x = x_ref[0]  # (tile_n, m)
-    acc = jnp.zeros(x.shape, jnp.float32)
-    for b in range(L):
-        # recompute this tile's t block in VMEM — never reloaded from HBM
-        t = _dot_prec(x, f_ref[b], (((1,), (0,)), ((), ())), prec)
-        w = (2.0 * dy_ref[0, b, :])[:, None] * t  # (tile_n, m)
-        # dx += w @ F_b^T  (contract the j axes; no transpose materialized)
-        acc += _dot_prec(w, f_ref[b], (((1,), (1,)), ((), ())), prec)
-        # dF_b += x^T @ w  (contract the tile axes)
-        df_ref[b, :, :] += _dot_prec(x, w, (((0,), (0,)), ((), ())), prec)
-    dx_ref[0] = acc
+    x = x_ref[...]  # (tile_n, m)
+    # recompute this tile's t block in VMEM — never reloaded from HBM
+    t = _dot_prec(x, fcat_ref[...], (((1,), (0,)), ((), ())), prec)
+    # k-major lanes (col = k*L + b) make the dy channel-broadcast a pure
+    # VPU tile-repeat — exact and MXU-free (the v2.0 selector dot for this
+    # was ~half the kernel's device time)
+    w = pltpu.repeat(2.0 * dy_ref[...], t.shape[1] // L, axis=1) * t
+    # dx[n, i] = sum_{b,k} w[n, kL+b] F[b, i, k]  — Fcat's own lane axis is
+    # exactly that (k, b) pairing, so this is one fat dim1-dim1 dot
+    dx_ref[...] = _dot_prec(w, fcat_ref[...], (((1,), (1,)), ((), ())), prec)
+    # dFcat[i, kL+b] = sum_n x[n, i] w[n, kL+b]  (accumulated across grid)
+    df_ref[...] += _dot_prec(x, w, (((0,), (0,)), ((), ())), prec)
 
 
 def _pad_points(a: jnp.ndarray, Np: int) -> jnp.ndarray:
@@ -158,62 +202,112 @@ def _pad_points(a: jnp.ndarray, Np: int) -> jnp.ndarray:
     return jnp.pad(a, ((0, 0), (0, Np - N), (0, 0)))
 
 
+# Budget for the kernel's live (tile, L*m) f32 temporaries against
+# Mosaic's 16M scoped-vmem stack (block buffers are pipelined separately);
+# halve the point tile until they fit. Forward keeps t + t*t live
+# (n_big=2); backward t + dy_exp + w + dot staging (n_big=4); the "high"
+# 3-pass decomposition holds two extra partial products (+2). Undersized
+# tiles are the measured failure mode — the first cut (4M budget ->
+# tile=128 at L*m=2000) ran the backward at ~20% MXU efficiency.
+_T_VMEM_BUDGET = 12 * 1024 * 1024
+# The temporaries live on Mosaic's scoped-vmem stack, whose DEFAULT limit
+# is 16M — measured 140K short at tile=256/L*m=2000 once dot staging and
+# block double-buffers are counted. v5e has 128M of VMEM; raise the
+# per-kernel cap instead of starving the tile (tile=128 ran at ~20% MXU
+# efficiency).
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _compiler_params(interpret: bool):
+    return None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT
+    )
+
+
+def _pick_tile(tile_n: int, N: int, Lm: int, n_big: int, prec: str) -> int:
+    if prec == "high":
+        n_big += 2
+    tile = min(tile_n, _round_up(max(N, _SUBLANE), _SUBLANE))
+    while tile > _SUBLANE and n_big * tile * Lm * 4 > _T_VMEM_BUDGET:
+        tile = max(_SUBLANE, _round_up(tile // 2, _SUBLANE))
+    return tile
+
+
+def _selector(L: int, m: int) -> jnp.ndarray:
+    """(m*L, L) 0/1 channel-membership matrix, k-major lanes:
+    E[k*L + b, b'] = [b == b']."""
+    return jnp.asarray(np.tile(np.eye(L), (m, 1)), jnp.float32)
+
+
 def _fwd_pallas(x, F, precision: str, tile_n: int, interpret: bool):
     G, N, m = x.shape
     L = F.shape[0]
-    tile = min(tile_n, _round_up(max(N, _SUBLANE), _SUBLANE))
+    tile = _pick_tile(tile_n, N, L * m, n_big=2, prec=precision)
     Np = _round_up(max(N, tile), tile)
-    xp = _pad_points(x, Np)
-    body = functools.partial(_fwd_body, L, precision)
+    # flatten (G, Np) into one row axis: fatter dots, G*Np//tile grid steps
+    xf = _pad_points(x, Np).reshape(G * Np, m)
+    # Fcat[i, k*L + b] = F[b, i, k] — all channels as one fat RHS,
+    # k-major lanes so the backward's dy broadcast is a pure tile-repeat
+    Fcat = jnp.transpose(F, (1, 2, 0)).reshape(m, m * L)
+    body = functools.partial(_fwd_body, precision)
     out = pl.pallas_call(
         body,
-        out_shape=jax.ShapeDtypeStruct((G, L, Np), jnp.float32),
-        grid=(G, Np // tile),
+        out_shape=jax.ShapeDtypeStruct((G * Np, L), jnp.float32),
+        grid=(G * Np // tile,),
         in_specs=[
-            pl.BlockSpec((1, tile, m), lambda g, j: (g, j, 0),
+            pl.BlockSpec((tile, m), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, m, m), lambda g, j: (0, 0, 0),
+            pl.BlockSpec((m, L * m), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L * m, L), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, L, tile), lambda g, j: (g, 0, j),
+        out_specs=pl.BlockSpec((tile, L), lambda j: (j, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(xp, F)
-    return out[:, :, :N]
+    )(xf, Fcat, _selector(L, m))
+    # channel-major (G, L, N) for the caller — a ~1 MB XLA transpose
+    return jnp.swapaxes(out.reshape(G, Np, L)[:, :N, :], -1, -2)
 
 
 def _bwd_pallas(x, F, dy, precision: str, tile_n: int, interpret: bool):
     G, N, m = x.shape
     L = F.shape[0]
-    tile = min(tile_n, _round_up(max(N, _SUBLANE), _SUBLANE))
+    tile = _pick_tile(tile_n, N, L * m, n_big=4, prec=precision)
     Np = _round_up(max(N, tile), tile)
-    xp = _pad_points(x, Np)
-    dyp = jnp.pad(dy, ((0, 0), (0, 0), (0, Np - N))) if Np != N else dy
+    xf = _pad_points(x, Np).reshape(G * Np, m)
+    # point-major dy (G*Np, L); padded rows are multiplied by t's zero rows
+    dyT = _pad_points(jnp.swapaxes(dy, -1, -2), Np).reshape(G * Np, L)
+    Fcat = jnp.transpose(F, (1, 2, 0)).reshape(m, m * L)
     body = functools.partial(_bwd_body, L, precision)
-    dx, dF = pl.pallas_call(
+    dx, dFcat = pl.pallas_call(
         body,
         out_shape=(
-            jax.ShapeDtypeStruct((G, Np, m), jnp.float32),
-            jax.ShapeDtypeStruct((L, m, m), jnp.float32),
+            jax.ShapeDtypeStruct((G * Np, m), jnp.float32),
+            jax.ShapeDtypeStruct((m, L * m), jnp.float32),
         ),
-        grid=(G, Np // tile),
+        grid=(G * Np // tile,),
         in_specs=[
-            pl.BlockSpec((1, tile, m), lambda g, j: (g, j, 0),
+            pl.BlockSpec((tile, m), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, m, m), lambda g, j: (0, 0, 0),
+            pl.BlockSpec((m, L * m), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, tile), lambda g, j: (g, 0, j),
+            pl.BlockSpec((tile, L), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile, m), lambda g, j: (g, j, 0),
+            pl.BlockSpec((tile, m), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, m, m), lambda g, j: (0, 0, 0),
+            pl.BlockSpec((m, L * m), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(xp, F, dyp)
-    return dx[:, :N, :], dF
+    )(xf, Fcat, dyT)
+    # invert Fcat's k-major layout: dF[b, i, k] = dFcat[i, k*L + b]
+    dx = dx.reshape(G, Np, m)[:, :N, :]
+    return dx, jnp.transpose(dFcat.reshape(m, m, L), (2, 0, 1))
 
 
 def _quad_jnp(xT: jnp.ndarray, factors: jnp.ndarray, precision: str):
