@@ -42,7 +42,18 @@ def load_data():
     return X, Y, n_samples_list
 
 
-def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0, **model_kw):
+def bench_ours(
+    X,
+    Y,
+    n_samples_list,
+    n_warmup=5,
+    min_time=5.0,
+    m=M,
+    lmc=None,
+    chunk=200,
+    minibatch_size=None,
+    **model_kw,
+):
     import jax
 
     # The carry key comes from the library's own default (typed rbg keys on
@@ -61,18 +72,17 @@ def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0, **model_kw):
     }
     model = VariationalGPSA(
         data_dict,
-        m_X_per_view=M,
-        m_G=M,
-        n_latent_gps={"expression": None},
+        m_X_per_view=m,
+        m_G=m,
+        n_latent_gps={"expression": lmc},
         mean_function="identity_fixed",
         fixed_view_idx=0,
         **model_kw,
     )
     # Scanned on-device training loop: the whole chunk of ELBO steps is one
     # dispatch (lax.scan) with donated buffers and a device-resident RNG chain.
-    loop, opt_state = model.make_train_loop(lr=LR, S=S)
+    loop, opt_state = model.make_train_loop(lr=LR, S=S, minibatch_size=minibatch_size)
     carry = (model.params, opt_state, make_key(0))
-    chunk = 200
     carry, losses = loop(carry, chunk)  # compile + warmup
     losses.block_until_ready()
 
@@ -86,13 +96,48 @@ def bench_ours(X, Y, n_samples_list, n_warmup=5, min_time=5.0, **model_kw):
         dt = time.perf_counter() - t0
         t_total += dt
         rates.append(chunk / dt)
-    flops_per_step = _flops_per_step(model, chunk)
+    flops_per_step = _flops_per_step(model, chunk) if m == M else None
     return (
         float(np.median(rates)),
         float(losses[-1]),
         jax.devices()[0].platform,
         flops_per_step,
     )
+
+
+def visium_scale_data():
+    """Visium-scale synthetic config (m=200, N=4,050): 45x45 grid per view x
+    2 views, 30 genes through a 10-latent LMC — the regime where the at-scale
+    perf work (mixed solve mode, bf16 variance precision, dispatch merging)
+    actually lands (VERDICT r4 item 5). Same generator call as
+    experiments/simulations/solve_prng_step_ab.py's visium_data."""
+    from spatial_alignment_tpu.data import generate_twod_data
+
+    rng = np.random.default_rng(0)
+    X, Y, nsl, _ = generate_twod_data(
+        2, 30, grid_size=45, n_latent_gps=10, kernel_lengthscale=5.0,
+        kernel_variance=0.5, noise_variance=0.001, fixed_view_idx=0, rng=rng,
+    )
+    return X.astype(np.float32), Y.astype(np.float32), nsl
+
+
+def minibatch_100k_data():
+    """100k-spot two-view config (50k/view, 10 genes, analytic smooth warp —
+    O(N) host cost). Benchmarked with minibatch SVI (B=4096), where per-step
+    cost is independent of N (experiments/simulations/extreme_scale.py)."""
+    n = 50_000
+    rng = np.random.default_rng(0)
+    X1 = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+    warp = 0.4 * np.stack(
+        [np.sin(X1[:, 0] / 2.0 + 1.0), np.cos(X1[:, 1] / 2.0)], 1
+    ).astype(np.float32)
+    X = np.concatenate([X1, X1 + warp])
+    Y1 = np.stack(
+        [np.sin(X1[:, 0] * (j % 3 + 1) / 3.0) + np.cos(X1[:, 1] * (j % 2 + 1) / 2.0)
+         for j in range(10)], 1,
+    ).astype(np.float32)
+    Y = np.concatenate([Y1, Y1])
+    return X, Y, [n, n]
 
 
 def _flops_per_step(model, chunk):
@@ -199,6 +244,18 @@ def main():
     ours_tri, _, _, _ = bench_ours(
         X, Y, n_samples_list, triangular_variational=True
     )
+    # At-scale configs in the driver-tracked line (VERDICT r4 item 5): the
+    # README's at-scale wins previously lived only in experiments/out/*.json,
+    # so a regression there was invisible in the BENCH_r* series.
+    Xv, Yv, nslv = visium_scale_data()
+    visium_sps, _, _, _ = bench_ours(
+        Xv, Yv, nslv, m=200, lmc=10, chunk=50, min_time=4.0
+    )
+    Xm, Ym, nslm = minibatch_100k_data()
+    mb100k_sps, _, _, _ = bench_ours(
+        Xm, Ym, nslm, m=100, lmc=10, chunk=200, minibatch_size=4096,
+        data_chunk_size=8192, min_time=4.0,
+    )
     try:
         baseline = bench_reference(X, Y, n_samples_list)
     except Exception as e:
@@ -211,6 +268,11 @@ def main():
         "vs_baseline": round(ours / baseline, 2),
         "triangular_fast_path_steps_per_sec": round(ours_tri, 2),
         "triangular_fast_path_vs_baseline": round(ours_tri / baseline, 2),
+        # At-scale tracking keys (configs documented at visium_scale_data /
+        # minibatch_100k_data above; r04 session baselines ~365-400 and ~309
+        # steps/s respectively, STATUS.md perf table).
+        "visium_scale_steps_per_sec": round(visium_sps, 2),
+        "minibatch_100k_steps_per_sec": round(mb100k_sps, 2),
     }
     if flops_per_step:
         achieved = flops_per_step * ours

@@ -100,6 +100,14 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     df = pd.DataFrame(rows)
     df.to_csv(os.path.join(out_dir, "st_alignment_synthetic_warp_multiple_types.csv"))
+    # JSON twin of the CSV (the committed artifact class in this repo;
+    # consumed by plot_st_alignment_multiple_types.py)
+    import json
+
+    with open(
+        os.path.join(out_dir, "st_alignment_synthetic_warp_multiple_types.json"), "w"
+    ) as f:
+        json.dump({"rows": rows}, f, indent=1)
 
     import matplotlib
 

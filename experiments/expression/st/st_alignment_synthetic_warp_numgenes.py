@@ -99,6 +99,14 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     df = pd.DataFrame(rows)
     df.to_csv(os.path.join(out_dir, "st_alignment_synthetic_warp_numgenes.csv"))
+    # JSON twin (committed artifact; consumed by
+    # plot_synthetic_warp_numgenes_results.py)
+    import json
+
+    with open(
+        os.path.join(out_dir, "st_alignment_synthetic_warp_numgenes.json"), "w"
+    ) as f:
+        json.dump({"rows": rows}, f, indent=1)
 
     import matplotlib
 
