@@ -506,10 +506,15 @@ class VariationalGPSA:
         if minibatch_size is not None and mesh is not None:
             from ..parallel.shardmap import _build_shardmap_fn
 
-            memo = {}  # one shard_map program per distinct S
+            # One shard_map program per distinct S, capped: a caller sweeping
+            # many S values would otherwise grow this without bound (each
+            # entry pins a compiled executable).
+            memo = {}
 
             def loss(params, key, S, temp):
                 if S not in memo:
+                    if len(memo) >= 4:
+                        memo.pop(next(iter(memo)))
                     memo[S] = _build_shardmap_fn(
                         spec, mesh, S, minibatch_size=minibatch_size
                     )
@@ -958,6 +963,92 @@ class VariationalGPSA:
                     errs.append(float(np.mean((Y[idx[a]] - yhat) ** 2)))
         return float(np.mean(errs)) if errs else np.inf
 
+    def _commit_params_to_mesh(self):
+        """Re-place ``self.params`` into the distributed layout after they
+        were replaced wholesale (multistart winners land as restart-mesh or
+        host arrays; subsequent distributed training expects the
+        param_shardings layout committed by ``parallel.distribute``)."""
+        mesh = getattr(self, "_mesh", None)
+        if mesh is None:
+            return
+        from ..parallel.sharding import param_shardings
+
+        sh = param_shardings(self.spec, self.params, mesh)
+        self.params = jax.tree.map(jax.device_put, self.params, sh)
+
+    def _warp_init_transforms(self, method: str):
+        """Per-view affine seeds ``[(A_T, b) or None per view]`` mapping each
+        view's coordinates toward the anchor view's frame, for init-diverse
+        multistart (``fit_multistart(init=...)``).
+
+        ``method="prealign"`` uses expression-moment matching
+        (utils.prealign.moment_align — the automated analog of the
+        reference's hand-tuned rotations, slideseq_prediction.py:110-136);
+        ``method="ot"`` runs the entropic-OT + weighted-Procrustes coarse
+        alignment (utils.ot.entropic_ot_align_views, the PASTE recipe) and
+        recovers each view's rigid map by least squares. Anchor = first
+        fixed view, else view 0. Transforms come from the FIRST modality
+        (the warp is shared across modalities). Host-side, computed once
+        per multistart.
+        """
+        src = self._init_args["data_dict"]
+        mod = self.spec.modalities[0]
+        X = _as_numpy(src[mod.name]["spatial_coords"]).astype(np.float64)
+        Y = _as_numpy(src[mod.name]["outputs"]).astype(np.float64)
+        slices = list(view_slices(mod.n_samples))
+        anchor = next(
+            (v for v, f in enumerate(self.spec.fixed_view_mask) if f), 0
+        )
+        D = X.shape[1]
+        transforms: list = [None] * self.n_views
+        if method == "prealign":
+            from ..utils.prealign import moment_align
+
+            Xa, Ya = (X[slice(*slices[anchor])], Y[slice(*slices[anchor])])
+            for v, (lo, hi) in enumerate(slices):
+                if v == anchor:
+                    continue
+                A_T, b = moment_align(X[lo:hi], Y[lo:hi], Xa, Ya)
+                transforms[v] = (A_T, b)
+            return transforms
+        if method == "ot":
+            from ..utils.ot import entropic_ot_align_views
+
+            idx = [np.arange(lo, hi) for lo, hi in slices]
+            # entropic_ot_align_views anchors on view 0; reorder so the
+            # template view is the anchor when one is set.
+            order = [anchor] + [v for v in range(len(idx)) if v != anchor]
+            aligned = entropic_ot_align_views(X, Y, [idx[v] for v in order])
+            for v, (lo, hi) in enumerate(slices):
+                if v == anchor or hi - lo < D + 1:
+                    continue
+                H = np.concatenate([X[lo:hi], np.ones((hi - lo, 1))], axis=1)
+                sol, *_ = np.linalg.lstsq(H, aligned[lo:hi], rcond=None)
+                transforms[v] = (sol[:D], sol[D])
+            return transforms
+        raise ValueError(f"unknown warp init method {method!r}")
+
+    @staticmethod
+    def _apply_warp_seed(params: dict, transforms) -> dict:
+        """Seed the warp posterior mean with per-view affine maps: the
+        posterior warp value at the inducing points becomes the affinely
+        pre-aligned position, ``delta_G[v] = Xtilde[v] @ A_T + b``, instead
+        of the identity (delta = Xtilde, params.py init). This starts the
+        restart inside a structurally different basin — the lever the
+        round-4 tail diagnosis (robustness_tail_diagnosis.json) left
+        untried: every random re-seed lands in the same >= 1.3e-3 basin on
+        the tail draws."""
+        Xt = np.asarray(params["Xtilde"])
+        delta = np.array(np.asarray(params["delta_G"]))
+        for v, t in enumerate(transforms):
+            if t is None:
+                continue
+            A_T, b = t
+            delta[v] = (Xt[v] @ np.asarray(A_T) + np.asarray(b)).astype(
+                delta.dtype
+            )
+        return {**params, "delta_G": jnp.asarray(delta)}
+
     def _fit_restarts_vectorized(
         self,
         n_epochs: int,
@@ -969,6 +1060,7 @@ class VariationalGPSA:
         warp_temperature_schedule=None,
         minibatch_size: Optional[int] = None,
         chunk_size: int = 200,
+        init_transforms=None,
     ):
         """Train ``n_restarts`` independent initializations SIMULTANEOUSLY by
         vmapping the restart axis through one scanned train loop.
@@ -993,6 +1085,19 @@ class VariationalGPSA:
         per restart but differ from the sequential path's (jax.random.split
         of a base key instead of per-restart PRNGKey chains) — restart
         basins are equivalent in distribution, not bit-matched.
+
+        ``init_transforms``: optional per-restart list, each entry None (a
+        fresh random init) or a per-view affine-seed list from
+        ``_warp_init_transforms`` (applied via ``_apply_warp_seed``).
+
+        On a DISTRIBUTED model (after ``parallel.distribute``) with n > 1
+        devices, the restart axis is sharded over a 1-D mesh built from the
+        model's own devices — n chips train n restart groups concurrently
+        (restarts are embarrassingly parallel, so the program has no
+        cross-device collectives; VERDICT r4 item 3). The batch and consts
+        are replicated onto every device once at setup; each restart's step
+        is then device-local. ``n_restarts`` is padded up to a multiple of
+        the device count internally and sliced back before returning.
         """
         a = self._init_args
         if a is None:
@@ -1000,8 +1105,13 @@ class VariationalGPSA:
                 "vectorized multistart needs the original data_dict "
                 "(unavailable on checkpoint-loaded models)"
             )
+        mesh = getattr(self, "_mesh", None)
+        n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+        r_total = n_restarts
+        if n_dev > 1:
+            r_total = -(-n_restarts // n_dev) * n_dev  # pad to device multiple
         stacked = []
-        for r in range(n_restarts):
+        for r in range(r_total):
             p, consts, _ = init_params(
                 self.spec, a["data_dict"], data_init=a["data_init"],
                 grid_init=a["grid_init"], seed=seed0 + r,
@@ -1018,11 +1128,52 @@ class VariationalGPSA:
                     "constants changed across reinitialization — vectorized "
                     "multistart assumes seed-independent consts"
                 )
+            if (
+                init_transforms is not None
+                and r < len(init_transforms)
+                and init_transforms[r] is not None
+            ):
+                p = self._apply_warp_seed(p, init_transforms[r])
             stacked.append(p)
         params_r = jax.tree.map(lambda *xs: jnp.stack(xs), *stacked)
 
         tx = optimizer or optax.adam(lr)
-        loss_fn = self._loss_fn(minibatch_size)
+        shard_R = None
+        if n_dev > 1:
+            # Restart-sharded training: bypass self._loss_fn (whose
+            # distributed minibatch variant routes through the shard_map
+            # executor — a per-restart-LOCAL step is what we want here) and
+            # close over batch/consts replicated across the restart mesh.
+            from jax.sharding import (
+                Mesh,
+                NamedSharding,
+                PartitionSpec as _P,
+            )
+
+            rmesh = Mesh(mesh.devices.reshape(-1), ("restart",))
+            shard_R = NamedSharding(rmesh, _P("restart"))
+            repl = NamedSharding(rmesh, _P())
+            consts_l = jax.tree.map(
+                lambda x: jax.device_put(x, repl), self.consts
+            )
+            batch_l = jax.tree.map(
+                lambda x: jax.device_put(x, repl), self._batch
+            )
+            spec = self.spec
+            if minibatch_size is None:
+                def loss_fn(params, key, S, temp):
+                    return core.negative_elbo(
+                        spec, params, consts_l, batch_l, key, S, temp
+                    )
+            else:
+                sub_spec = core.minibatch_spec(spec, minibatch_size)
+
+                def loss_fn(params, key, S, temp):
+                    return core.negative_elbo_minibatch(
+                        spec, sub_spec, params, consts_l, batch_l, key, S, temp
+                    )
+        else:
+            loss_fn = self._loss_fn(minibatch_size)
         vgrad = jax.vmap(
             jax.value_and_grad(loss_fn), in_axes=(0, 0, None, None)
         )
@@ -1042,10 +1193,19 @@ class VariationalGPSA:
         def scan_loop(carry, temps):
             return jax.lax.scan(one, carry, temps)
 
+        keys = jax.random.split(make_key(seed0), r_total)
+        if shard_R is not None:
+            params_r = jax.tree.map(
+                lambda x: jax.device_put(x, shard_R), params_r
+            )
+            keys = jax.device_put(keys, shard_R)
         opt_state = jax.vmap(tx.init)(params_r)
-        keys = jax.random.split(make_key(seed0), n_restarts)
+        if shard_R is not None:
+            opt_state = jax.tree.map(
+                lambda x: jax.device_put(x, shard_R), opt_state
+            )
         carry = (params_r, opt_state, keys)
-        losses = np.zeros((n_epochs, n_restarts), np.float64)
+        losses = np.zeros((n_epochs, r_total), np.float64)
         t = 0
         while t < n_epochs:
             n = min(chunk_size, n_epochs - t)
@@ -1058,7 +1218,11 @@ class VariationalGPSA:
             carry, chunk_losses = scan_loop(carry, arg)
             losses[t : t + n] = np.asarray(chunk_losses, np.float64)
             t += n
-        return carry[0], losses.T  # (R-stacked params pytree, (R, T))
+        params_out = carry[0]
+        if r_total != n_restarts:
+            params_out = jax.tree.map(lambda x: x[:n_restarts], params_out)
+            losses = losses[:, :n_restarts]
+        return params_out, losses.T  # (R-stacked params pytree, (R, T))
 
     def fit_multistart(
         self,
@@ -1073,6 +1237,7 @@ class VariationalGPSA:
         vectorized: str = "auto",
         adaptive_waves: Optional[int] = None,
         adaptive_rtol: float = 0.05,
+        init: str = "random",
         **fit_kwargs,
     ) -> np.ndarray:
         """Train from ``n_restarts`` independent initializations and keep the
@@ -1145,6 +1310,27 @@ class VariationalGPSA:
         ``False`` forces sequential fits (bit-compatible with earlier
         rounds' RNG streams); ``True`` errors if unsupported.
 
+        ``init`` controls restart-initialization diversity:
+          * ``"random"`` (default) — every restart is a fresh random draw
+            (prior rounds' behavior).
+          * ``"prealign"`` — every restart's warp posterior mean is seeded
+            with the coarse affine pre-alignment (expression-moment
+            matching, utils.prealign) instead of the identity; other
+            parameters still vary by seed.
+          * ``"ot"`` — like "prealign" but seeded from the entropic-OT +
+            Procrustes coarse alignment (utils.ot, the PASTE recipe).
+          * ``"mixed"`` — cycle restarts through {random, prealign, ot}:
+            structurally different init families attack different basins
+            (the round-4 tail diagnosis showed random re-seeds all land in
+            the same >= 1.3e-3 basin on some draws). Selection then picks
+            across families.
+        Affine seeding writes the warp posterior mean directly, so it is
+        unavailable under ``whitened_variational`` (raises).
+
+        On a distributed model (``parallel.distribute``), the vectorized
+        path shards the restart axis over the model's devices — n chips
+        train n restart groups concurrently (``_fit_restarts_vectorized``).
+
         Accepts every ``fit`` option. Returns the winning run's loss trace
         and leaves the model holding the winning parameters.
         """
@@ -1167,6 +1353,36 @@ class VariationalGPSA:
             select = "consistency" if self._init_args is not None else "loss"
         self.ensemble_G_means_ = None
 
+        # Resolve per-restart init families (init-diversity, VERDICT r4
+        # item 2). Transforms are computed host-side ONCE per multistart.
+        if init not in ("random", "prealign", "ot", "mixed"):
+            raise ValueError(f"unknown init {init!r}")
+        init_transforms = None
+        if init != "random":
+            if self._init_args is None:
+                raise RuntimeError(
+                    f"init={init!r} needs the original data_dict "
+                    "(unavailable on checkpoint-loaded models)"
+                )
+            if self.spec.whitened_variational:
+                raise ValueError(
+                    "affine-seeded inits write the warp posterior mean "
+                    "directly and are not defined under "
+                    "whitened_variational"
+                )
+            seeds = {}
+            if init in ("prealign", "mixed"):
+                seeds["prealign"] = self._warp_init_transforms("prealign")
+            if init in ("ot", "mixed"):
+                seeds["ot"] = self._warp_init_transforms("ot")
+            if init == "mixed":
+                cycle = [None, seeds["prealign"], seeds["ot"]]
+            else:
+                cycle = [seeds[init]]
+            init_transforms = [
+                cycle[r % len(cycle)] for r in range(n_restarts)
+            ]
+
         # Vectorized restart training (vmap over the restart axis — see
         # _fit_restarts_vectorized): the default whenever the run is plain
         # enough to batch. Distributed models (vmap-over-pjit layouts) and
@@ -1180,14 +1396,13 @@ class VariationalGPSA:
             raise ValueError(f"vectorized must be True/False/'auto', got {vectorized!r}")
         can_vec = (
             self._init_args is not None
-            and getattr(self, "_mesh", None) is None
             and set(fit_kwargs) <= _VEC_KEYS
             and select in ("consistency", "loss")
         )
         use_vec = vectorized is True or (vectorized == "auto" and can_vec)
         if vectorized is True and not can_vec:
             raise RuntimeError(
-                "vectorized=True not supported here (distributed model, "
+                "vectorized=True not supported here ("
                 "checkpoint-loaded model, predictive selection, or "
                 f"unsupported fit options {set(fit_kwargs) - _VEC_KEYS})"
             )
@@ -1218,6 +1433,7 @@ class VariationalGPSA:
                         "warp_temperature_schedule"
                     ],
                     minibatch_size=fit_kwargs.get("minibatch_size"),
+                    init_transforms=init_transforms,
                 )
                 for r in range(n_restarts):
                     yield r, jax.tree.map(lambda x: x[r], params_R), \
@@ -1225,6 +1441,11 @@ class VariationalGPSA:
             else:
                 for r in range(n_restarts):
                     self.reinitialize(seed0 + r)
+                    if init_transforms is not None and \
+                            init_transforms[r] is not None:
+                        self.params = self._apply_warp_seed(
+                            self.params, init_transforms[r]
+                        )
                     losses = self.fit(n_epochs=n_epochs, **fit_kwargs)
                     yield r, self.params, losses
 
@@ -1275,6 +1496,10 @@ class VariationalGPSA:
                             "warp_temperature_schedule"
                         ],
                         minibatch_size=fit_kwargs.get("minibatch_size"),
+                        init_transforms=(
+                            None if init_transforms is None
+                            else init_transforms[done : done + w]
+                        ),
                     )
                     for r in range(w):
                         _score_run(
@@ -1310,6 +1535,7 @@ class VariationalGPSA:
             if verbose:
                 print(f"winner: restart {best_r}", flush=True)
             self.params = best_params
+            self._commit_params_to_mesh()
             # The stashed Adam moments/RNG (if any) belong to a different
             # restart's trajectory than the winner — a checkpoint pairing
             # them would silently mis-resume.
@@ -1373,6 +1599,7 @@ class VariationalGPSA:
                 "fit_multistart: no restart produced a finite tail-mean loss"
             )
         self.params = best[1]
+        self._commit_params_to_mesh()
         # See the consistency branch: the stashed optimizer state belongs
         # to a different restart than the winning params.
         self._opt_state = None

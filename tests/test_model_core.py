@@ -828,3 +828,72 @@ def test_fit_multistart_vectorized_vs_sequential(two_view_data):
         m.fit_multistart(
             n_epochs=5, n_restarts=2, verbose=False, vectorized="sometimes"
         )
+
+
+def test_warp_init_transforms_recover_affine(two_view_data):
+    """On a view that is an exact affine map of the template, both init
+    families recover a transform that undoes it (VERDICT r4 item 2)."""
+    X = np.asarray(two_view_data["expression"]["spatial_coords"]).copy()
+    Y = np.asarray(two_view_data["expression"]["outputs"]).copy()
+    theta = 0.5
+    R = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    X[30:] = X[:30] @ R.T + np.array([1.5, -0.5])
+    Y[30:] = Y[:30]
+    dd = {"expression": {"spatial_coords": X, "outputs": Y,
+                         "n_samples_list": [30, 30]}}
+    m = _tiny_model(dd, fixed_view_idx=0, seed=0)
+    for method in ("prealign", "ot"):
+        t = m._warp_init_transforms(method)
+        assert t[0] is None  # anchor view untouched
+        A_T, b = t[1]
+        mapped = X[30:] @ A_T + b
+        err = float(np.mean(np.sum((mapped - X[:30]) ** 2, axis=1)))
+        pre = float(np.mean(np.sum((X[30:] - X[:30]) ** 2, axis=1)))
+        assert err < 0.05 * pre, (method, err, pre)
+
+
+def test_apply_warp_seed_sets_delta(two_view_data):
+    m = _tiny_model(two_view_data, seed=0)
+    A_T = 2.0 * np.eye(2)
+    b = np.array([1.0, -1.0])
+    p = m._apply_warp_seed(m.params, [None, (A_T, b)])
+    Xt = np.asarray(m.params["Xtilde"])
+    np.testing.assert_allclose(np.asarray(p["delta_G"])[0], Xt[0])
+    np.testing.assert_allclose(
+        np.asarray(p["delta_G"])[1], Xt[1] @ A_T + b, rtol=1e-6
+    )
+    # original params untouched
+    np.testing.assert_allclose(np.asarray(m.params["delta_G"]), Xt)
+
+
+def test_fit_multistart_init_families(two_view_data):
+    """init='mixed' cycles {random, prealign, ot} restarts through the
+    vectorized path and still selects a finite winner."""
+    m = _tiny_model(two_view_data, fixed_view_idx=0, seed=0)
+    losses = m.fit_multistart(
+        n_epochs=40, n_restarts=3, S=2, verbose=False, init="mixed"
+    )
+    assert losses.shape == (40,) and np.isfinite(losses).all()
+    G, _, _ = m.predict(
+        {"expression": np.asarray(two_view_data["expression"]["spatial_coords"])}
+    )
+    assert np.isfinite(np.asarray(G["expression"])).all()
+    with pytest.raises(ValueError):
+        m.fit_multistart(n_epochs=5, n_restarts=2, init="bogus")
+
+
+def test_fit_multistart_init_sequential_path(two_view_data):
+    """Affine-seeded inits also apply on the sequential (non-vectorized)
+    restart path."""
+    m = _tiny_model(two_view_data, fixed_view_idx=0, seed=0)
+    losses = m.fit_multistart(
+        n_epochs=30, n_restarts=2, S=2, verbose=False, init="prealign",
+        vectorized=False, select="loss",
+    )
+    assert np.isfinite(losses).all()
+
+
+def test_fit_multistart_init_whitened_raises(two_view_data):
+    m = _tiny_model(two_view_data, seed=0, whitened_variational=True)
+    with pytest.raises(ValueError):
+        m.fit_multistart(n_epochs=5, n_restarts=2, init="prealign")
