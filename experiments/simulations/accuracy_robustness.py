@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--adaptive-waves", type=int, default=None,
                     help="adaptive restart waves of this size; --restarts "
                     "becomes the cap (fit_multistart adaptive_waves)")
+    ap.add_argument("--init", default="random",
+                    choices=["random", "prealign", "ot", "mixed"],
+                    help="restart init-diversity family (fit_multistart init)")
     args = ap.parse_args()
 
     rows = []
@@ -58,7 +61,7 @@ def main():
                 fixed_view_idx=fixed, seed=seed, recipe="accurate",
                 n_restarts=args.restarts, select=args.select,
                 ensemble_top_k=args.ensemble_top_k,
-                adaptive_waves=args.adaptive_waves,
+                adaptive_waves=args.adaptive_waves, init=args.init,
             )
             row[f"{mode}_error"] = view_error(aligned, view_idx)
             row[f"{mode}_seconds"] = _time.time() - t0
@@ -80,6 +83,7 @@ def main():
         "select": args.select,
         "ensemble_top_k": args.ensemble_top_k,
         "adaptive_waves": args.adaptive_waves,
+        "init": args.init,
         "denovo": stats("denovo_error"),
         "denovo_seconds": stats("denovo_seconds"),
         "template_seconds": stats("template_seconds"),
@@ -101,6 +105,8 @@ def main():
         name += f"_{args.select}"
     if args.adaptive_waves:
         name += f"_adaptive{args.adaptive_waves}"
+    if args.init != "random":
+        name += f"_init_{args.init}"
     with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: out[k] for k in ("denovo", "template", "observed")}, indent=2))
