@@ -544,3 +544,51 @@ def test_multistart_minibatch_on_mesh_is_local():
         minibatch_size=8,
     )
     assert np.isfinite(losses).all()
+
+def test_distributed_checkpoint_roundtrip_exact(tmp_path):
+    """Distributed fit -> save -> class-load -> re-distribute -> exact resume
+    matches an uninterrupted distributed fit bit-for-bit (VERDICT r4 item 4:
+    distributed checkpointing; same guarantee the single-device resume has)."""
+    data = make_two_view_data(n_per_view=16, n_outputs=3)
+    mesh = make_mesh(8)
+
+    m_full = _model(data, pad_multiple=8, seed=2)
+    distribute(m_full, mesh)
+    losses_full = m_full.fit(n_epochs=14, lr=1e-2, S=2, chunk_size=7)
+
+    m_a = _model(data, pad_multiple=8, seed=2)
+    distribute(m_a, mesh)
+    losses_a = m_a.fit(n_epochs=7, lr=1e-2, S=2, chunk_size=7)
+    path = str(tmp_path / "dist.npz")
+    m_a.save(path)
+
+    m_b = sat.VariationalGPSA.load(path)
+    distribute(m_b, mesh)
+    losses_b = m_b.fit(n_epochs=7, lr=1e-2, S=2, chunk_size=7, resume_from=path)
+
+    np.testing.assert_array_equal(
+        np.concatenate([losses_a, losses_b]), losses_full
+    )
+    for a, b in zip(jax.tree.leaves(m_full.params), jax.tree.leaves(m_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_distributed_aligned_coords_match_single_device():
+    """The deliverable — aligned coordinates — after a multi-step distributed
+    fit matches the single-device trajectory (VERDICT r4 item 4: parity on
+    coordinates, not just losses). Same per-step keys via fit's RNG chain:
+    both models share seed, so the carry-key chains are identical."""
+    data = make_two_view_data(n_per_view=16, n_outputs=3)
+    m_single = _model(data, seed=4)
+    m_shard = _model(data, pad_multiple=8, seed=4)
+    distribute(m_shard, make_mesh(8))
+    l1 = m_single.fit(n_epochs=30, lr=1e-2, S=2, chunk_size=10)
+    l2 = m_shard.fit(n_epochs=30, lr=1e-2, S=2, chunk_size=10)
+    rel = np.abs(l1 - l2) / np.maximum(np.abs(l1), 1.0)
+    assert rel.max() < 5e-3, rel.max()
+    X = {"expression": data["expression"]["spatial_coords"]}
+    G1, _, _ = m_single.predict(X)
+    G2, _, _ = m_shard.predict(X)
+    np.testing.assert_allclose(
+        G1["expression"], G2["expression"], atol=2e-2, rtol=0
+    )
