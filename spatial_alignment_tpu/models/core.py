@@ -32,7 +32,9 @@ from ..ops.linalg import (
     cholesky_solve,
     factor_psd_cholesky,
     jittered_cholesky,
+    jittered_cholesky_inverse,
     joint_factor_cholesky,
+    joint_factor_cholesky_inverse,
     kl_mvn_chol,
     kl_whitened,
     tri_inverse,
@@ -338,18 +340,25 @@ def _split_sizes(sizes, slab):
     return parts
 
 
+def _wants_kuu_inverse(spec: ModelSpec) -> bool:
+    """Whether this spec's solve mode consumes explicit chol(Kuu)^-1."""
+    if spec.svgp_solve_mode not in ("inverse", "kl_inverse", "mixed"):
+        return False
+    if spec.whitened_variational and spec.svgp_solve_mode in ("kl_inverse", "mixed"):
+        # The whitened KL has no prior solve (kl_whitened), and the
+        # kl_inverse predictive keeps triangular solves — nothing would
+        # consume the inverses, so don't add the dead block-loop dispatch.
+        return False
+    return True
+
+
 def _kuu_inverses(spec: ModelSpec, L_w, L_d, Va: int, m_X: int, m_G: int):
     """(warp, data) explicit Kuu-Cholesky inverses for inverse solve mode,
     merged into one batched tri_inverse dispatch when the sizes match.
     The Kuu factors are replicated under distribute(), so the merge is safe
     even when merged_factor_dispatch is cleared (that guard is about the
     model-sharded Omega lanes)."""
-    if spec.svgp_solve_mode not in ("inverse", "kl_inverse", "mixed"):
-        return None, None
-    if spec.whitened_variational and spec.svgp_solve_mode in ("kl_inverse", "mixed"):
-        # The whitened KL has no prior solve (kl_whitened), and the
-        # kl_inverse predictive keeps triangular solves — nothing would
-        # consume the inverses, so don't add the dead block-loop dispatch.
+    if not _wants_kuu_inverse(spec):
         return None, None
     impl = spec.cholesky_impl
     if m_X == m_G and Va > 0:
@@ -391,6 +400,15 @@ def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
         Om_w_tril = jnp.tril(Om_w_sqt)
         Om_d_tril = {n: jnp.tril(s) for n, s in zip(mod_names, om_d_list)}
         if m_X == m_G and Va > 0:
+            if _wants_kuu_inverse(spec):
+                L, inv = jittered_cholesky_inverse(
+                    jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0), eps,
+                    impl=spec.cholesky_impl,
+                    fused=spec.fused_factor_inverse,
+                )
+                return FactorPass(
+                    L[:Va], Om_w_tril, L[Va], Om_d_tril, inv[:Va], inv[Va]
+                )
             L = jittered_cholesky(
                 jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0), eps,
                 impl=spec.cholesky_impl,
@@ -434,15 +452,21 @@ def compute_factors(spec: ModelSpec, hp: dict) -> FactorPass:
 
     Om_d_flat = jnp.concatenate(om_d_list, axis=0)
     if m_X == m_G and Va > 0:
-        Lg, Lp = joint_factor_cholesky(
+        n_inv = (Va + 1) if _wants_kuu_inverse(spec) else 0
+        Lg, Lp, inv = joint_factor_cholesky_inverse(
             jnp.concatenate([Kuu_w, Kuu_d[None]], axis=0),
             jnp.concatenate([Om_w_flat, Om_d_flat], axis=0),
             eps,
             impl=spec.cholesky_impl,
+            n_inv=n_inv,
+            fused=spec.fused_factor_inverse,
         )
         L_w, L_d = Lg[:Va], Lg[Va]
         Om_w_tril = Lp[: Va * D].reshape(Va, D, m_X, m_X)
         Om_d_parts = _split_sizes(om_d_sizes, Lp[Va * D :])
+        if n_inv:
+            Om_d_tril = dict(zip(mod_names, Om_d_parts))
+            return FactorPass(L_w, Om_w_tril, L_d, Om_d_tril, inv[:Va], inv[Va])
     else:
         if Va:
             L_w, Om_w_t = joint_factor_cholesky(

@@ -169,6 +169,15 @@ class ModelSpec:
     # to "xla" on ITS spec (the point axis is the sharded axis and the
     # kernel has no custom_partitioning rule).
     quad_diag_impl: str = "xla"
+    # Fuse the factor pass's final Cholesky dispatch and the explicit
+    # chol(Kuu)^-1 inverses (consumed by the inverse/kl_inverse/mixed solve
+    # modes) into ONE Pallas kernel (ops/pallas_factor.py): the factor slab
+    # never round-trips to HBM between the factorization and the
+    # substitution, and the InvertDiagBlocks custom call + its layout
+    # copies disappear. "auto" resolves per the step-level A/B recorded in
+    # experiments/out/pallas_factor_step_ab.json (ops/linalg.py:
+    # _factor_fused_ok); "fused"/"off" force.
+    fused_factor_inverse: str = "auto"
 
     # ---- derived helpers -------------------------------------------------
     @property
@@ -258,6 +267,7 @@ def build_spec(
     whitened_variational: bool = False,
     cholesky_impl: str = "auto",
     quad_diag_impl: str = "auto",
+    fused_factor_inverse: str = "auto",
 ) -> ModelSpec:
     """Derive a ModelSpec from a reference-format data_dict.
 
@@ -372,6 +382,11 @@ def build_spec(
         raise ValueError(
             f"quad_diag_impl must be 'auto', 'xla' or 'pallas', got {quad_diag_impl!r}"
         )
+    if fused_factor_inverse not in ("auto", "fused", "off"):
+        raise ValueError(
+            "fused_factor_inverse must be 'auto', 'fused' or 'off', got "
+            f"{fused_factor_inverse!r}"
+        )
 
     if fixed_view_idx is None:
         fixed = tuple(False for _ in range(n_views))
@@ -409,6 +424,7 @@ def build_spec(
         whitened_variational=whitened_variational,
         cholesky_impl=cholesky_impl,
         quad_diag_impl=quad_diag_impl,
+        fused_factor_inverse=fused_factor_inverse,
     )
 
 

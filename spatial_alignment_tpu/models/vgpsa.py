@@ -188,6 +188,7 @@ class VariationalGPSA:
         whitened_variational: bool = False,
         cholesky_impl: str = "auto",
         quad_diag_impl: str = "auto",
+        fused_factor_inverse: str = "auto",
     ):
         del n_spatial_dims, minmax_init  # shape-driven / dead (SURVEY.md §2.4.5-6)
         spec = build_spec(
@@ -216,6 +217,7 @@ class VariationalGPSA:
             whitened_variational=whitened_variational,
             cholesky_impl=cholesky_impl,
             quad_diag_impl=quad_diag_impl,
+            fused_factor_inverse=fused_factor_inverse,
         )
         self.params, self.consts, self.spec = init_params(
             spec,
@@ -262,6 +264,7 @@ class VariationalGPSA:
             whitened_variational=whitened_variational,
             cholesky_impl=cholesky_impl,
             quad_diag_impl=quad_diag_impl,
+            fused_factor_inverse=fused_factor_inverse,
         )
 
         # Reference-parity bookkeeping attributes (used by plotting callbacks)

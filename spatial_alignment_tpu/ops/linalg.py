@@ -21,6 +21,8 @@ __all__ = [
     "safe_cholesky",
     "factor_psd_cholesky",
     "joint_factor_cholesky",
+    "joint_factor_cholesky_inverse",
+    "jittered_cholesky_inverse",
     "cholesky_solve",
     "tri_solve",
     "tri_inverse",
@@ -242,6 +244,104 @@ def _probed_jitter(
     return jnp.where(ok1, base, 100.0 * base)
 
 
+def _factor_fused_ok(fused: Optional[str], m: int, batch: int, dtype) -> bool:
+    """Dispatch gate for the fused Cholesky+inverse kernel
+    (ops/pallas_factor.py). 'fused' forces it (within the shape gates);
+    'off'/None never dispatches. 'auto' currently resolves to OFF pending
+    the step-level A/B at the m=200 real-data config
+    (experiments/out/pallas_factor_step_ab.json) — flip here if it wins."""
+    if fused in (None, "off", "auto"):
+        return False
+    if fused != "fused":
+        raise ValueError(
+            f"fused_factor_inverse must be 'auto', 'fused' or 'off', got {fused!r}"
+        )
+    if dtype != jnp.float32:
+        return False
+    from . import pallas_factor as _pf
+
+    return (
+        m >= _pf.PALLAS_FACTOR_MIN_M and batch >= _pf.PALLAS_FACTOR_MIN_BATCH
+    )
+
+
+def jittered_cholesky_inverse(
+    mat: jnp.ndarray,
+    eps: float,
+    *,
+    impl: Optional[str] = None,
+    fused: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`jittered_cholesky` plus the explicit factor inverse L^-1.
+
+    When the fused gate passes (see :func:`_factor_fused_ok`) both come out
+    of ONE Pallas kernel dispatch (ops/pallas_factor.py) — the factor never
+    round-trips to HBM between the factorization and the substitution.
+    Otherwise exactly the unfused chain: ``_chol`` + :func:`tri_inverse`
+    (bit-identical to what :func:`jittered_cholesky` + a separate
+    ``tri_inverse`` call produce today)."""
+    jitter = _probed_jitter(mat, eps, impl)
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    jittered = mat + jitter[..., None, None] * eye
+    batch = 1
+    for s in mat.shape[:-2]:
+        batch *= s
+    if _factor_fused_ok(fused, mat.shape[-1], batch, mat.dtype):
+        from . import pallas_factor as _pf
+
+        return _pf.cholesky_and_inverse(jittered)
+    L = _chol(jittered, impl)
+    return L, tri_inverse(L, impl=impl)
+
+
+def joint_factor_cholesky_inverse(
+    gram: jnp.ndarray,
+    psd_sqt: Optional[jnp.ndarray],
+    eps: float,
+    *,
+    impl: Optional[str] = None,
+    n_inv: int = 0,
+    fused: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """:func:`joint_factor_cholesky` plus explicit inverses of the first
+    ``n_inv`` (gram-lane) factors.
+
+    Returns (L_gram, L_psd | None, inv | None). With ``n_inv`` and the
+    fused gate passing, the whole slab factors AND inverts in one Pallas
+    dispatch (the kernel inverts every lane — batched triangular work is
+    latency-bound, so the unused-psd-lane inverses cost dead MXU flops,
+    not wall time — and the gram prefix is sliced out). The unfused
+    fallback runs the same ``tri_inverse(L[:n_inv])`` dispatch
+    :func:`~spatial_alignment_tpu.models.core` ran before this existed —
+    bit-identical per matrix."""
+    jitter = _probed_jitter(gram, eps, impl)
+    m = gram.shape[-1]
+    eye = jnp.eye(m, dtype=gram.dtype)
+    jittered = gram + jitter[..., None, None] * eye
+    if psd_sqt is None:
+        slab = jittered
+    else:
+        mat = psd_sqt @ jnp.swapaxes(psd_sqt, -1, -2)
+        diag_mean = jnp.maximum(
+            1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
+        )
+        scale = jax.lax.stop_gradient(diag_mean)
+        psd_jittered = mat + (eps * scale)[..., None, None] * eye
+        slab = jnp.concatenate([jittered, psd_jittered], axis=0)
+    if n_inv and _factor_fused_ok(fused, m, slab.shape[0], slab.dtype):
+        from . import pallas_factor as _pf
+
+        L, Linv = _pf.cholesky_and_inverse(slab)
+        inv = Linv[:n_inv]
+    else:
+        L = _chol(slab, impl)
+        inv = tri_inverse(L[:n_inv], impl=impl) if n_inv else None
+    Bg = gram.shape[0]
+    if psd_sqt is None:
+        return L, None, inv
+    return L[:Bg], L[Bg:], inv
+
+
 def joint_factor_cholesky(
     gram: jnp.ndarray,
     psd_sqt: Optional[jnp.ndarray],
@@ -265,21 +365,8 @@ def joint_factor_cholesky(
     probe call) replaces ~8 latency-bound dispatches with 2 — numerically
     identical per matrix (batch lanes are independent).
     """
-    jitter = _probed_jitter(gram, eps, impl)
-    m = gram.shape[-1]
-    eye = jnp.eye(m, dtype=gram.dtype)
-    jittered = gram + jitter[..., None, None] * eye
-    if psd_sqt is None:
-        return _chol(jittered, impl), None
-    mat = psd_sqt @ jnp.swapaxes(psd_sqt, -1, -2)
-    diag_mean = jnp.maximum(
-        1.0, jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1), axis=-1)
-    )
-    scale = jax.lax.stop_gradient(diag_mean)
-    psd_jittered = mat + (eps * scale)[..., None, None] * eye
-    Bg = gram.shape[0]
-    L = _chol(jnp.concatenate([jittered, psd_jittered], axis=0), impl)
-    return L[:Bg], L[Bg:]
+    Lg, Lp, _ = joint_factor_cholesky_inverse(gram, psd_sqt, eps, impl=impl)
+    return Lg, Lp
 
 
 def factor_psd_cholesky(
