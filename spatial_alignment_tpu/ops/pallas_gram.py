@@ -54,6 +54,11 @@ def _gram_kernel_body(kind, params_ref, x1t_ref, x2t_ref, out_ref):
     zero-padded dimension rows (zeros contribute nothing to the distance), so
     the big axes M / N sit in the 128-lane dimension.
     params (SMEM): [[log_lengthscale, log_variance]].
+
+    All arithmetic is f32 in VMEM regardless of the output dtype; a bf16
+    ``out_ref`` only rounds the final store (the >32M-element regime is
+    HBM-WRITE-bound, so halving output bytes is the one bandwidth lever —
+    see gram_large_ab.py).
     """
     log_ls = params_ref[0, 0]
     log_var = params_ref[0, 1]
@@ -64,14 +69,15 @@ def _gram_kernel_body(kind, params_ref, x1t_ref, x2t_ref, out_ref):
     inv_ls2 = jnp.exp(-2.0 * log_ls)
     var = jnp.exp(log_var)
     if kind == "rbf":
-        out_ref[:] = var * jnp.exp(-0.5 * acc * inv_ls2)
+        out = var * jnp.exp(-0.5 * acc * inv_ls2)
     elif kind == "matern12":
         dists = jnp.sqrt(acc + 1e-10)
-        out_ref[:] = var * jnp.exp(-0.5 * dists * jnp.exp(-log_ls))
+        out = var * jnp.exp(-0.5 * dists * jnp.exp(-log_ls))
     else:  # matern32
         dists = jnp.sqrt(acc + 1e-10)
         inner = np.float32(np.sqrt(3.0)) * dists * jnp.exp(-log_ls)
-        out_ref[:] = var * (1.0 + inner) * jnp.exp(-inner)
+        out = var * (1.0 + inner) * jnp.exp(-inner)
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _pallas_gram_2d(
@@ -82,6 +88,7 @@ def _pallas_gram_2d(
     kind: str,
     tile_n: int = 512,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     M, D = x1.shape
     N = x2.shape[0]
@@ -104,7 +111,7 @@ def _pallas_gram_2d(
     body = functools.partial(_gram_kernel_body, kind)
     out = pl.pallas_call(
         body,
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         grid=(Np // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
@@ -125,11 +132,16 @@ def pallas_gram(
     kind: str = "rbf",
     tile_n: int = 512,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Cross-Gram k(x1, x2) with leading batch dims on x2 (vmapped)."""
     if x2.ndim == 2:
-        return _pallas_gram_2d(x1, x2, log_ls, log_var, kind, tile_n, interpret)
-    fn = lambda b: pallas_gram(x1, b, log_ls, log_var, kind, tile_n, interpret)
+        return _pallas_gram_2d(
+            x1, x2, log_ls, log_var, kind, tile_n, interpret, out_dtype
+        )
+    fn = lambda b: pallas_gram(
+        x1, b, log_ls, log_var, kind, tile_n, interpret, out_dtype
+    )
     return jax.vmap(fn)(x2)
 
 
