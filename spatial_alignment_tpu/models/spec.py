@@ -174,9 +174,10 @@ class ModelSpec:
     # modes) into ONE Pallas kernel (ops/pallas_factor.py): the factor slab
     # never round-trips to HBM between the factorization and the
     # substitution, and the InvertDiagBlocks custom call + its layout
-    # copies disappear. "auto" resolves per the step-level A/B recorded in
-    # experiments/out/pallas_factor_step_ab.json (ops/linalg.py:
-    # _factor_fused_ok); "fused"/"off" force.
+    # copies disappear. "auto" resolves to OFF: the step-level A/B
+    # (experiments/out/pallas_factor_step_ab.json) measured the fused
+    # kernel at 0.970x at the m=200 Visium config and noise at the
+    # north-star — mechanism in ops/pallas_factor.py. "fused"/"off" force.
     fused_factor_inverse: str = "auto"
 
     # ---- derived helpers -------------------------------------------------

@@ -247,9 +247,12 @@ def _probed_jitter(
 def _factor_fused_ok(fused: Optional[str], m: int, batch: int, dtype) -> bool:
     """Dispatch gate for the fused Cholesky+inverse kernel
     (ops/pallas_factor.py). 'fused' forces it (within the shape gates);
-    'off'/None never dispatches. 'auto' currently resolves to OFF pending
-    the step-level A/B at the m=200 real-data config
-    (experiments/out/pallas_factor_step_ab.json) — flip here if it wins."""
+    'off'/None never dispatches. 'auto' resolves to OFF: the step-level
+    A/B measured the kernel at 0.970x at the m=200 real-data config and
+    1.009x (noise) at the north-star (experiments/out/
+    pallas_factor_step_ab.json) — the slab's HBM round-trip is too small
+    to be worth a VPU-bound substitution; mechanism in the module
+    docstring."""
     if fused in (None, "off", "auto"):
         return False
     if fused != "fused":

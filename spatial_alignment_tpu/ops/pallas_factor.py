@@ -38,9 +38,31 @@ The custom VJP composes the two standard pullbacks on the XLA side
 Cholesky: Murray 2016) — identical algebra to the unfused chain's VJP, so
 gradients agree to f32 tolerance while the forward runs fused.
 
-A/B status: see experiments/out/pallas_factor_step_ab.json (written by
-experiments/simulations/pallas_factor_ab.py) — dispatch gates below are
-set from that measurement.
+A/B status: MEASURED AND REJECTED AS A DEFAULT (experiments/out/
+pallas_factor_step_ab.json, real v5e, scanned train loop, same protocol
+as pallas_trisolve_step_ab.py): 1.009x at the m=50 north-star (inside the
+noise band) and **0.970x at the m=200/N=4,050 Visium config** — a real
+regression, so ``fused_factor_inverse="auto"`` never dispatches this
+kernel (ops/linalg.py:_factor_fused_ok) and ``"fused"`` is the explicit
+opt-in. Mechanism, same family as the trisolve rejection:
+
+* The HBM round-trip fusion deletes is tiny. The whole (14, 200, 200)
+  factor slab is ~2.2 MB in f32 — one round-trip costs ~6 us against the
+  ~819 GB/s roof, i.e. ~0.2% of a 2.5 ms step. There is no bandwidth to
+  win; the fusion argument that carries the Gram kernel (where the
+  intermediate is GBs) does not transfer to m<=256 factor slabs.
+* XLA's chain is already MXU-shaped at this size. tri_inverse lowers to
+  InvertDiagBlocks (2 blocks at m=200) + fat batched block matmuls; the
+  in-kernel phase-2 replacement is ~m/NB = 25 serialized 8-row VPU
+  substitution panels per matrix — a longer dependent recurrence than
+  the work it replaces, exactly the trisolve mechanism
+  (ops/pallas_trisolve.py docstring).
+* The saved dispatch (3 -> 2) is below step noise on a step that
+  dispatches dozens; the probe dispatch dominates the factor pass's
+  launch overhead and is unchanged.
+
+The kernel stays as a complete, tested opt-in (useful if a future config
+ever makes the factor slab VMEM-resident across consumers).
 """
 
 from __future__ import annotations

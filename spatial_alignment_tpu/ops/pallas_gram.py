@@ -14,7 +14,11 @@ with a statically unrolled loop over D — an MXU matmul with a contraction of
 2 would waste the systolic array and this op is bandwidth-bound anyway.
 
 A jnp fallback keeps CPU/interpret semantics identical (tested in
-tests/test_pallas.py); ``gram`` dispatches on backend + size.
+tests/test_pallas.py). ``gram``'s auto dispatch resolves to the jnp
+(XLA expansion-form) path at EVERY size as of round 5 — the loop-in-jit
+bandwidth-roof A/B (gram_large_ab.json) showed the earlier per-call window
+was dispatch-noise; the kernel stays as an exact opt-in (see the dispatch
+note below).
 """
 
 from __future__ import annotations
@@ -145,14 +149,26 @@ def pallas_gram(
     return jax.vmap(fn)(x2)
 
 
-# Measured dispatch window (v5e, f32, m=200, S=5 — experiments/out/
-# pallas_ab.json): below ~256k output elements XLA's fused jnp path is
-# already optimal; in the mid range the fused Pallas kernel wins (1.27x at
-# 20M elems) because the jnp path must run its sqdist matmul at highest
-# precision (6 bf16 passes) while the kernel needs no matmul at all; above
-# ~32M elements both are HBM-write-bound and XLA's code generation edges
-# ahead again, so dispatch returns to jnp.
-_PALLAS_MIN_ELEMS = 256 * 1024
+# Dispatch decision (round 5): "auto" NEVER dispatches the kernel.
+# The round-3 per-call A/B (pallas_ab.json) measured a [256K, 32M]-element
+# window where the kernel won 1.27x — but per-call timing through the axon
+# tunnel has a ~23 ms dispatch floor that swamps a sub-ms op. The round-5
+# harness (experiments/simulations/gram_large_ab.py: reps inside one jitted
+# fori_loop, optimization_barrier-materialized output, rep-count-differenced)
+# measures XLA's expansion-form lowering at ~48-54% of the 819 GB/s HBM roof
+# across 1M-100M output elements, with the kernel at 0.41-0.78x of it
+# everywhere — INCLUDING inside the old window (gram_large_ab.json). A bf16
+# output store (halving write bytes, the only remaining lever in the
+# HBM-write-bound regime) still loses (0.56-0.78x) while costing 2e-3 rel
+# error, so no bf16-Kuf consumer path is warranted either. Mechanism: the
+# kernel's (8, M) x (8, TN) broadcast-subtract distance runs on the VPU,
+# while XLA's expansion form rides the MXU for the cross term and fuses the
+# exp into the output loop — at every size the op is compute-side-limited
+# below the write roof, and the MXU version has more arithmetic throughput.
+# The kernel remains exact (3.5e-6 vs f64) and available via force=True /
+# set_gram_force for HBM-pressure-bound uses; step-level throughput was
+# always neutral to the choice (gram is a few % of step time).
+_PALLAS_MIN_ELEMS = 256 * 1024  # retained for the opt-in's shape sanity
 _PALLAS_MAX_ELEMS = 32 * 1024 * 1024
 
 # Process-wide dispatch override for A/B benchmarking (None = size dispatch).
@@ -171,13 +187,9 @@ def _gram_fwd_impl(x1, x2, log_ls, log_var, kind, force):
     if use is None and _FORCE_OVERRIDE is not None:
         use = _FORCE_OVERRIDE and _HAS_PALLAS and x1.ndim == 2
     if use is None:
-        n_out = int(np.prod(x1.shape[:-1])) * int(np.prod(x2.shape[:-1]))
-        use = (
-            _HAS_PALLAS
-            and jax.default_backend() == "tpu"
-            and x1.ndim == 2
-            and _PALLAS_MIN_ELEMS <= n_out <= _PALLAS_MAX_ELEMS
-        )
+        # Round-5 measurement: XLA's expansion form wins at every size
+        # (see the window note above) — auto never dispatches the kernel.
+        use = False
     if use:
         return pallas_gram(x1, x2, log_ls, log_var, kind)
     kern = get_kernel(kind)
