@@ -704,7 +704,8 @@ class VariationalGPSA:
             raise RuntimeError(
                 "this model was loaded from a checkpoint saved with "
                 "include_data=False — it can predict but has no training "
-                "batch to fit on"
+                "batch to fit on; call attach_data(data_dict) with the "
+                "original data to re-enable training"
             )
         epoch0 = 0
         blob = None
@@ -822,7 +823,8 @@ class VariationalGPSA:
         if self._init_args is None:
             raise RuntimeError(
                 "reinitialize() needs the original data_dict; this model was "
-                "rebuilt from a checkpoint (VariationalGPSA.load)"
+                "rebuilt from a checkpoint (VariationalGPSA.load) — call "
+                "attach_data(data_dict) first"
             )
         a = self._init_args
         self.params, consts, self.spec = init_params(
@@ -1705,6 +1707,76 @@ class VariationalGPSA:
             m.name: (m.n_latent if m.use_lmc else None) for m in spec.modalities
         }
         return model
+
+    def attach_data(
+        self,
+        data_dict,
+        data_init=None,
+        grid_init=None,
+        fixed_warp_kernel_variances=None,
+        fixed_warp_kernel_lengthscales=None,
+        fixed_data_kernel_lengthscales=None,
+    ):
+        """Re-attach training data to a model whose checkpoint was saved
+        with ``include_data=False``, re-enabling ``fit`` /
+        ``fit_multistart`` / ``neg_elbo`` (such checkpoints otherwise only
+        predict — the previously documented gap).
+
+        ``data_dict`` must be the same data layout the checkpoint's spec
+        was built from: identical modalities, per-view sample counts,
+        spatial dimensionality, and output counts — validated here before
+        packing, since ``pack_batch`` pads by the SPEC's counts and would
+        otherwise mis-slot plausible-but-wrong data silently. The arrays
+        themselves need not be bit-identical to the originals (e.g.
+        re-loaded from the source files at a different dtype), but the
+        trained parameters are only meaningful against the data they were
+        fit on. ``data_init`` / ``grid_init`` restore the optional inducing
+        initialization context for ``reinitialize``/multistart."""
+        for mod in self.spec.modalities:
+            if mod.name not in data_dict:
+                raise ValueError(f"data_dict is missing modality {mod.name!r}")
+            d = data_dict[mod.name]
+            X = _as_numpy(d["spatial_coords"])
+            Y = _as_numpy(d["outputs"])
+            nsl = [int(n) for n in d["n_samples_list"]]
+            if nsl != list(mod.n_samples):
+                raise ValueError(
+                    f"{mod.name}: n_samples_list {nsl} does not match the "
+                    f"checkpoint spec's per-view counts {list(mod.n_samples)}"
+                )
+            if X.shape != (sum(nsl), self.spec.n_spatial_dims):
+                raise ValueError(
+                    f"{mod.name}: spatial_coords shape {X.shape} != "
+                    f"({sum(nsl)}, {self.spec.n_spatial_dims})"
+                )
+            if Y.shape != (sum(nsl), mod.n_outputs):
+                raise ValueError(
+                    f"{mod.name}: outputs shape {Y.shape} != "
+                    f"({sum(nsl)}, {mod.n_outputs})"
+                )
+        for flag, val in (
+            ("fixed_warp_kernel_variances", fixed_warp_kernel_variances),
+            ("fixed_warp_kernel_lengthscales", fixed_warp_kernel_lengthscales),
+            ("fixed_data_kernel_lengthscales", fixed_data_kernel_lengthscales),
+        ):
+            if getattr(self.spec, flag) and val is None:
+                raise ValueError(
+                    f"this checkpoint's spec has {flag}=True; pass the "
+                    f"original fixed values to attach_data({flag}=...) so "
+                    "reinitialize()/multistart rebuild the same model"
+                )
+        self._batch = pack_batch(self.spec, data_dict)
+        self._init_args = {
+            "data_dict": data_dict,
+            "data_init": data_init,
+            "grid_init": grid_init,
+            "fixed_warp_kernel_variances": fixed_warp_kernel_variances,
+            "fixed_warp_kernel_lengthscales": fixed_warp_kernel_lengthscales,
+            "fixed_data_kernel_lengthscales": fixed_data_kernel_lengthscales,
+        }
+        # Any cached train loop closed over the old (absent) batch.
+        self.__dict__.pop("_train_loop_cache", None)
+        return self
 
     def _restore_training_state(self, path: str, blob=None):
         """Pick up the RNG key / epoch counter if the checkpoint has them.

@@ -112,6 +112,60 @@ def test_kill_and_resume_matches_uninterrupted(tmp_path, two_view_data):
         )
 
 
+def test_attach_data_reenables_training(tmp_path, two_view_data):
+    """A model loaded from an include_data=False checkpoint can't fit —
+    until attach_data re-supplies the original data (validated against
+    the spec), after which fit/neg_elbo/reinitialize work again."""
+    model = _model(two_view_data, fixed_view_idx=0)
+    model.fit(10, S=2)
+    path = str(tmp_path / "nodata.npz")
+    model.save(path, include_data=False)
+
+    m2 = sat.VariationalGPSA.load(path)
+    with pytest.raises(RuntimeError, match="attach_data"):
+        m2.fit(5, S=2)
+    with pytest.raises(RuntimeError, match="attach_data"):
+        m2.reinitialize(7)
+
+    # wrong per-view counts are rejected before packing
+    bad = {
+        k: {**v, "n_samples_list": [int(v["n_samples_list"][0]) + 1,
+                                    int(v["n_samples_list"][1]) - 1]}
+        for k, v in two_view_data.items()
+    }
+    with pytest.raises(ValueError, match="n_samples_list"):
+        m2.attach_data(bad)
+
+    m2.attach_data(two_view_data)
+    key = jax.random.PRNGKey(0)
+    e1 = float(core.negative_elbo(
+        model.spec, model.params, model.consts, model._batch, key, 2))
+    e2 = float(core.negative_elbo(
+        m2.spec, m2.params, m2.consts, m2._batch, key, 2))
+    np.testing.assert_allclose(e1, e2, rtol=1e-6)
+    losses = m2.fit(5, S=2)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    m2.reinitialize(7)  # _init_args restored
+
+
+def test_attach_data_fixed_kernel_guard(tmp_path, two_view_data):
+    """Specs with fixed kernel hyperparameters need the original fixed
+    values re-supplied (they live in consts, not the spec)."""
+    model = _model(two_view_data, fixed_warp_kernel_variances=[0.5, 0.5])
+    model.fit(5, S=2)
+    path = str(tmp_path / "fixed.npz")
+    model.save(path, include_data=False)
+    m2 = sat.VariationalGPSA.load(path)
+    with pytest.raises(ValueError, match="fixed_warp_kernel_variances"):
+        m2.attach_data(two_view_data)
+    m2.attach_data(
+        two_view_data, fixed_warp_kernel_variances=[0.5, 0.5]
+    )
+    losses = m2.fit(5, S=2)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    m2.reinitialize(3)
+
+
 def test_checkpoint_shape_mismatch_raises(tmp_path, two_view_data):
     model = _model(two_view_data)
     path = str(tmp_path / "ckpt.npz")
