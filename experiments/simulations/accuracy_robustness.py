@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--init", default="random",
                     choices=["random", "prealign", "ot", "mixed"],
                     help="restart init-diversity family (fit_multistart init)")
+    ap.add_argument("--wave-size", type=int, default=None,
+                    help="fixed vectorized wave width (all waves run; bounds "
+                    "the compiled program width — fit_multistart wave_size)")
     args = ap.parse_args()
 
     rows = []
@@ -62,6 +65,7 @@ def main():
                 n_restarts=args.restarts, select=args.select,
                 ensemble_top_k=args.ensemble_top_k,
                 adaptive_waves=args.adaptive_waves, init=args.init,
+                wave_size=args.wave_size,
             )
             row[f"{mode}_error"] = view_error(aligned, view_idx)
             row[f"{mode}_seconds"] = _time.time() - t0
@@ -84,6 +88,7 @@ def main():
         "ensemble_top_k": args.ensemble_top_k,
         "adaptive_waves": args.adaptive_waves,
         "init": args.init,
+        "wave_size": args.wave_size,
         "denovo": stats("denovo_error"),
         "denovo_seconds": stats("denovo_seconds"),
         "template_seconds": stats("template_seconds"),

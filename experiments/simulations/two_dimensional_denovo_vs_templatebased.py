@@ -39,7 +39,7 @@ N_EPOCHS = 10000
 def two_d_gpsa(
     X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None, seed=0,
     recipe="plain", variational="square", n_restarts=1, select="loss",
-    ensemble_top_k=1, adaptive_waves=None, init="random",
+    ensemble_top_k=1, adaptive_waves=None, init="random", wave_size=None,
 ):
     """recipe='accurate' trains with the deterministic-warp (temperature-0)
     objective under cosine lr decay — the converged-accuracy recipe from
@@ -70,7 +70,7 @@ def two_d_gpsa(
         losses = model.fit_multistart(
             n_epochs=n_epochs, n_restarts=n_restarts, seed0=seed * 100,
             lr=1e-2, S=5, select=select, ensemble_top_k=ensemble_top_k,
-            adaptive_waves=adaptive_waves, init=init,
+            adaptive_waves=adaptive_waves, init=init, wave_size=wave_size,
             **fit_kw,
         )
     else:

@@ -1179,24 +1179,58 @@ class VariationalGPSA:
                     )
         else:
             loss_fn = self._loss_fn(minibatch_size)
-        vgrad = jax.vmap(
-            jax.value_and_grad(loss_fn), in_axes=(0, 0, None, None)
-        )
 
-        def one(carry, temp):
-            params, opt_state, keys = carry
-            split = jax.vmap(jax.random.split)(keys)  # (R, 2, key)
-            keys, subs = split[:, 0], split[:, 1]
-            loss, grads = vgrad(params, subs, S, temp)
-            updates, opt_state = jax.vmap(tx.update)(
-                grads, opt_state, params
+        # Memoize the jitted R-wide loop on the instance (single-device
+        # path): wave-chunked multistart (fit_multistart(wave_size=w) /
+        # adaptive_waves) calls this method once per wave with identical
+        # (width, options) — a fresh jax.jit object per call would retrace
+        # and re-submit the compile each wave, which through a remote
+        # compile tunnel can dominate the run. Mirrors _cached_train_loop's
+        # identity guards; the distributed path is not cached (its closure
+        # captures per-call device placements).
+        ckey = (r_total, S, minibatch_size, None if optimizer else lr)
+        cache = getattr(self, "_vec_loop_cache", None)
+        if (
+            mesh is None
+            and cache is not None
+            and cache["key"] == ckey
+            and cache["optimizer"] is optimizer
+            and cache["spec"] is self.spec
+            and cache["consts"] is self.consts
+            and cache["batch"] is self._batch
+        ):
+            scan_loop = cache["scan_loop"]
+            tx = cache["tx"]
+        else:
+            vgrad = jax.vmap(
+                jax.value_and_grad(loss_fn), in_axes=(0, 0, None, None)
             )
-            params = jax.vmap(optax.apply_updates)(params, updates)
-            return (params, opt_state, keys), loss
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def scan_loop(carry, temps):
-            return jax.lax.scan(one, carry, temps)
+            def one(carry, temp):
+                params, opt_state, keys = carry
+                split = jax.vmap(jax.random.split)(keys)  # (R, 2, key)
+                keys, subs = split[:, 0], split[:, 1]
+                loss, grads = vgrad(params, subs, S, temp)
+                updates, opt_state = jax.vmap(tx.update)(
+                    grads, opt_state, params
+                )
+                params = jax.vmap(optax.apply_updates)(params, updates)
+                return (params, opt_state, keys), loss
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def scan_loop(carry, temps):
+                return jax.lax.scan(one, carry, temps)
+
+            if mesh is None:
+                self._vec_loop_cache = {
+                    "key": ckey,
+                    "optimizer": optimizer,
+                    "spec": self.spec,
+                    "consts": self.consts,
+                    "batch": self._batch,
+                    "scan_loop": scan_loop,
+                    "tx": tx,
+                }
 
         keys = jax.random.split(make_key(seed0), r_total)
         if shard_R is not None:
@@ -1243,6 +1277,7 @@ class VariationalGPSA:
         adaptive_waves: Optional[int] = None,
         adaptive_rtol: float = 0.05,
         init: str = "random",
+        wave_size: Optional[int] = None,
         **fit_kwargs,
     ) -> np.ndarray:
         """Train from ``n_restarts`` independent initializations and keep the
@@ -1332,6 +1367,17 @@ class VariationalGPSA:
         Affine seeding writes the warp posterior mean directly, so it is
         unavailable under ``whitened_variational`` (raises).
 
+        ``wave_size`` (vectorized path, non-adaptive): train the restarts
+        in fixed vmapped waves of this width instead of one
+        ``n_restarts``-wide program — ALL waves still run (no stopping
+        rule; use ``adaptive_waves`` for that). This bounds the width of
+        the compiled program: an R-wide cold compile through a remote
+        compile service grows superlinearly with R and can dominate (or
+        stall) the run, while a w-wide program compiles once and is reused
+        by every wave. Waves re-run at width ``wave_size`` even for a
+        final partial wave (surplus restarts are trained and discarded) so
+        a single compiled width serves the whole multistart.
+
         On a distributed model (``parallel.distribute``), the vectorized
         path shards the restart axis over the model's devices — n chips
         train n restart groups concurrently (``_fit_restarts_vectorized``).
@@ -1411,6 +1457,21 @@ class VariationalGPSA:
                 "checkpoint-loaded model, predictive selection, or "
                 f"unsupported fit options {set(fit_kwargs) - _VEC_KEYS})"
             )
+        if wave_size is not None:
+            if wave_size < 1:
+                raise ValueError("wave_size must be >= 1")
+            if adaptive_waves is not None:
+                raise ValueError(
+                    "wave_size and adaptive_waves are mutually exclusive: "
+                    "adaptive_waves already trains in waves (of its own "
+                    "size) and adds the stopping rule"
+                )
+            if not use_vec:
+                raise RuntimeError(
+                    "wave_size chunks the vectorized restart path, which "
+                    "is unavailable here (distributed/checkpoint-loaded "
+                    "model or unsupported fit options)"
+                )
         if adaptive_waves is not None:
             if adaptive_waves < 1:
                 raise ValueError("adaptive_waves must be >= 1")
@@ -1429,20 +1490,35 @@ class VariationalGPSA:
         def _trained_restarts():
             """Yield (r, params_r, losses_r) for every restart."""
             if use_vec:
-                params_R, losses_RT = self._fit_restarts_vectorized(
-                    n_epochs, n_restarts, seed0,
-                    lr=fit_kwargs.get("lr", _DEFAULT_LR),
-                    S=fit_kwargs.get("S", 5),
-                    optimizer=fit_kwargs["optimizer"],
-                    warp_temperature_schedule=fit_kwargs[
-                        "warp_temperature_schedule"
-                    ],
-                    minibatch_size=fit_kwargs.get("minibatch_size"),
-                    init_transforms=init_transforms,
+                # wave_size=None: one n_restarts-wide program. Otherwise
+                # fixed-width waves — every wave runs at exactly wave_size
+                # (a final partial wave trains surplus restarts and
+                # discards them) so ONE compiled width serves all waves.
+                w = n_restarts if wave_size is None else min(
+                    wave_size, n_restarts
                 )
-                for r in range(n_restarts):
-                    yield r, jax.tree.map(lambda x: x[r], params_R), \
-                        losses_RT[r]
+                done = 0
+                while done < n_restarts:
+                    tr = None
+                    if init_transforms is not None:
+                        tr = init_transforms[done : done + w]
+                        tr = tr + [None] * (w - len(tr))
+                    params_R, losses_RT = self._fit_restarts_vectorized(
+                        n_epochs, w, seed0 + done,
+                        lr=fit_kwargs.get("lr", _DEFAULT_LR),
+                        S=fit_kwargs.get("S", 5),
+                        optimizer=fit_kwargs["optimizer"],
+                        warp_temperature_schedule=fit_kwargs[
+                            "warp_temperature_schedule"
+                        ],
+                        minibatch_size=fit_kwargs.get("minibatch_size"),
+                        init_transforms=tr,
+                    )
+                    for r in range(min(w, n_restarts - done)):
+                        yield done + r, \
+                            jax.tree.map(lambda x, r=r: x[r], params_R), \
+                            losses_RT[r]
+                    done += w
             else:
                 for r in range(n_restarts):
                     self.reinitialize(seed0 + r)
@@ -1776,6 +1852,7 @@ class VariationalGPSA:
         }
         # Any cached train loop closed over the old (absent) batch.
         self.__dict__.pop("_train_loop_cache", None)
+        self.__dict__.pop("_vec_loop_cache", None)
         return self
 
     def _restore_training_state(self, path: str, blob=None):

@@ -830,6 +830,36 @@ def test_fit_multistart_vectorized_vs_sequential(two_view_data):
         )
 
 
+def test_fit_multistart_wave_size(two_view_data):
+    """wave_size chunks the vectorized path into fixed-width waves (all
+    waves run, bounding compiled-program width); a partial final wave
+    trains surplus restarts and discards them; the jitted wave loop is
+    memoized across waves."""
+    m = _tiny_model(two_view_data, seed=0)
+    lv = m.fit_multistart(
+        n_epochs=40, n_restarts=5, S=2, verbose=False, vectorized=True,
+        wave_size=2,
+    )
+    assert lv.shape == (40,) and np.isfinite(lv).all()
+    assert float(m.neg_elbo(S=2)) and m._vec_loop_cache["key"][0] == 2
+
+    # mixed init composes with waves (transforms sliced per wave + padded)
+    m2 = _tiny_model(two_view_data, fixed_view_idx=0, seed=0)
+    lv2 = m2.fit_multistart(
+        n_epochs=40, n_restarts=4, S=2, verbose=False, vectorized=True,
+        wave_size=3, init="mixed",
+    )
+    assert np.isfinite(lv2).all()
+
+    with np.testing.assert_raises(ValueError):
+        m.fit_multistart(
+            n_epochs=5, n_restarts=4, verbose=False, wave_size=2,
+            adaptive_waves=2,
+        )
+    with np.testing.assert_raises(ValueError):
+        m.fit_multistart(n_epochs=5, n_restarts=4, verbose=False, wave_size=0)
+
+
 def test_warp_init_transforms_recover_affine(two_view_data):
     """On a view that is an exact affine map of the template, both init
     families recover a transform that undoes it (VERDICT r4 item 2)."""
