@@ -60,9 +60,10 @@ def _gram_kernel_body(kind, params_ref, x1t_ref, x2t_ref, out_ref):
     params (SMEM): [[log_lengthscale, log_variance]].
 
     All arithmetic is f32 in VMEM regardless of the output dtype; a bf16
-    ``out_ref`` only rounds the final store (the >32M-element regime is
-    HBM-WRITE-bound, so halving output bytes is the one bandwidth lever —
-    see gram_large_ab.py).
+    ``out_ref`` only rounds the final store — measured as a halved-write
+    lever and rejected (still 0.56-0.78x of the XLA arm at every size,
+    gram_large_ab.json; kept so HBM-pressure-bound opt-in callers can
+    halve the tensor's footprint).
     """
     log_ls = params_ref[0, 0]
     log_var = params_ref[0, 1]
