@@ -45,10 +45,29 @@ def main():
     ap.add_argument("--wave-size", type=int, default=None,
                     help="fixed vectorized wave width (all waves run; bounds "
                     "the compiled program width — fit_multistart wave_size)")
+    ap.add_argument("--precision", default="auto",
+                    help="svgp_matmul_precision (e.g. 'highest' for the "
+                    "max-accuracy f32 recipe, docs/PERF.md)")
+    ap.add_argument("--seed-list", default=None,
+                    help="comma-separated explicit seeds (overrides --seeds); "
+                    "for targeted tail-seed reruns")
+    ap.add_argument("--modes", default="denovo,template",
+                    help="comma-separated subset of {denovo,template}")
+    ap.add_argument("--tag", default=None,
+                    help="suffix for the output artifact name")
     args = ap.parse_args()
 
+    seeds = (
+        [int(s) for s in args.seed_list.split(",")]
+        if args.seed_list else list(range(args.seeds))
+    )
+    mode_pairs = [
+        (m, {"denovo": None, "template": 0}[m])
+        for m in args.modes.split(",")
+    ]
+
     rows = []
-    for seed in range(args.seeds):
+    for seed in seeds:
         rng = np.random.default_rng(seed)
         X, Y, nsl, view_idx = generate_twod_data(
             2, 30, grid_size=10, n_latent_gps=5, kernel_lengthscale=5.0,
@@ -56,7 +75,7 @@ def main():
         )
         obs = view_error(X, view_idx)
         row = {"seed": seed, "observed_error": obs}
-        for mode, fixed in (("denovo", None), ("template", 0)):
+        for mode, fixed in mode_pairs:
             import time as _time
             t0 = _time.time()
             aligned = two_d_gpsa(
@@ -65,7 +84,7 @@ def main():
                 n_restarts=args.restarts, select=args.select,
                 ensemble_top_k=args.ensemble_top_k,
                 adaptive_waves=args.adaptive_waves, init=args.init,
-                wave_size=args.wave_size,
+                wave_size=args.wave_size, precision=args.precision,
             )
             row[f"{mode}_error"] = view_error(aligned, view_idx)
             row[f"{mode}_seconds"] = _time.time() - t0
@@ -73,7 +92,9 @@ def main():
         rows.append(row)
 
     def stats(key):
-        v = np.array([r[key] for r in rows])
+        v = np.array([r[key] for r in rows if key in r])
+        if v.size == 0:
+            return None
         return {
             "mean": float(v.mean()), "median": float(np.median(v)),
             "min": float(v.min()), "max": float(v.max()),
@@ -82,13 +103,14 @@ def main():
     out = {
         "recipe": "accurate",
         "n_epochs": args.epochs,
-        "n_seeds": args.seeds,
+        "seeds": seeds,
         "n_restarts": args.restarts,
         "select": args.select,
         "ensemble_top_k": args.ensemble_top_k,
         "adaptive_waves": args.adaptive_waves,
         "init": args.init,
         "wave_size": args.wave_size,
+        "precision": args.precision,
         "denovo": stats("denovo_error"),
         "denovo_seconds": stats("denovo_seconds"),
         "template_seconds": stats("template_seconds"),
@@ -112,6 +134,10 @@ def main():
         name += f"_adaptive{args.adaptive_waves}"
     if args.init != "random":
         name += f"_init_{args.init}"
+    if args.precision != "auto":
+        name += f"_prec_{args.precision}"
+    if args.tag:
+        name += f"_{args.tag}"
     with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: out[k] for k in ("denovo", "template", "observed")}, indent=2))

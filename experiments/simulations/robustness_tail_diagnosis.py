@@ -71,6 +71,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=10000)
     ap.add_argument("--wave", type=int, default=4)
     ap.add_argument("--rtol", type=float, default=0.05)
+    ap.add_argument("--init", default="random",
+                    choices=["random", "prealign", "ot", "mixed"],
+                    help="restart init-diversity family; each restart row "
+                    "records its family so basin floors can be attributed "
+                    "per family (VERDICT r4 item 2)")
+    ap.add_argument("--out-name", default="robustness_tail_diagnosis.json")
     args = ap.parse_args()
 
     per_seed = []
@@ -95,10 +101,31 @@ def main():
         vi, Ns, _, _ = model.create_view_idx_dict(data_dict)
         opt, temps = _resolve_recipe("accurate", 1e-2, args.epochs, None, None)
 
+        # Per-restart init families (mirrors fit_multistart's cycle).
+        families = ["random"] * args.restarts
+        init_transforms = None
+        if args.init != "random":
+            seeds_t = {}
+            if args.init in ("prealign", "mixed"):
+                seeds_t["prealign"] = model._warp_init_transforms("prealign")
+            if args.init in ("ot", "mixed"):
+                seeds_t["ot"] = model._warp_init_transforms("ot")
+            if args.init == "mixed":
+                cyc = [("random", None),
+                       ("prealign", seeds_t["prealign"]),
+                       ("ot", seeds_t["ot"])]
+            else:
+                cyc = [(args.init, seeds_t[args.init])]
+            families = [cyc[r % len(cyc)][0] for r in range(args.restarts)]
+            init_transforms = [
+                cyc[r % len(cyc)][1] for r in range(args.restarts)
+            ]
+
         t0 = time.time()
         params_R, _ = model._fit_restarts_vectorized(
             args.epochs, args.restarts, seed * 100,
             lr=1e-2, S=5, optimizer=opt, warp_temperature_schedule=temps,
+            init_transforms=init_transforms,
         )
         train_s = time.time() - t0
 
@@ -109,6 +136,7 @@ def main():
             Ga = np.asarray(G_means["expression"])
             restarts.append({
                 "restart": r,
+                "family": families[r],
                 "error": view_error(Ga, view_idx),
                 "consistency": model._alignment_consistency(
                     {"expression": Ga}
@@ -130,6 +158,17 @@ def main():
         ens2_all = view_error(
             np.mean([r["G"] for r in top2_all], axis=0), view_idx
         )
+        # Ensemble-size sweep: averaging aligned coords across the top-k
+        # consistency-ranked restarts cancels independent basin error (the
+        # top-2 ensemble beats every SINGLE restart on the tail seeds) —
+        # measure how far k pushes below the per-restart floor.
+        ranked = sorted(restarts, key=lambda r: r["consistency"])
+        ens_by_k = {
+            str(k): float(view_error(
+                np.mean([r["G"] for r in ranked[:k]], axis=0), view_idx
+            ))
+            for k in (1, 2, 3, 4, 6, 8, 12, 16) if k <= len(ranked)
+        }
         for r in restarts:
             del r["G"]
 
@@ -147,6 +186,12 @@ def main():
             "spearman_consistency_vs_error": float(
                 _spearman(scores, errors)
             ),
+            "ensemble_error_by_k": ens_by_k,
+            "best_by_family": {
+                fam: float(min(r["error"] for r in restarts
+                               if r["family"] == fam))
+                for fam in sorted(set(families))
+            },
             "restarts": restarts,
         }
         print(json.dumps({k: v for k, v in row.items() if k != "restarts"},
@@ -155,7 +200,7 @@ def main():
 
     out_dir = os.path.join(os.path.dirname(__file__), "..", "out")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "robustness_tail_diagnosis.json"), "w") as f:
+    with open(os.path.join(out_dir, args.out_name), "w") as f:
         json.dump({
             "config": vars(args),
             "note": "tail seeds from accuracy_robustness_restarts16_"

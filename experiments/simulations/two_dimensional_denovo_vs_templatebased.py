@@ -40,6 +40,7 @@ def two_d_gpsa(
     X, Y, n_samples_list, n_epochs, n_latent_gps, fixed_view_idx=None, seed=0,
     recipe="plain", variational="square", n_restarts=1, select="loss",
     ensemble_top_k=1, adaptive_waves=None, init="random", wave_size=None,
+    precision="auto",
 ):
     """recipe='accurate' trains with the deterministic-warp (temperature-0)
     objective under cosine lr decay — the converged-accuracy recipe from
@@ -62,6 +63,7 @@ def two_d_gpsa(
         fixed_view_idx=fixed_view_idx,
         seed=seed,
         triangular_variational=(variational == "triangular"),
+        svgp_matmul_precision=precision,
     )
     view_idx, Ns, _, _ = model.create_view_idx_dict(data_dict)
     fit_kw = {"recipe": recipe}  # "accurate" = cosine lr decay + temp-0 warp

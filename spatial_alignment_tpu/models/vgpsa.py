@@ -1403,6 +1403,7 @@ class VariationalGPSA:
         if select == "auto":
             select = "consistency" if self._init_args is not None else "loss"
         self.ensemble_G_means_ = None
+        self.multistart_winner_ = None
 
         # Resolve per-restart init families (init-diversity, VERDICT r4
         # item 2). Transforms are computed host-side ONCE per multistart.
@@ -1428,11 +1429,18 @@ class VariationalGPSA:
                 seeds["ot"] = self._warp_init_transforms("ot")
             if init == "mixed":
                 cycle = [None, seeds["prealign"], seeds["ot"]]
+                fam_cycle = ["random", "prealign", "ot"]
             else:
                 cycle = [seeds[init]]
+                fam_cycle = [init]
             init_transforms = [
                 cycle[r % len(cycle)] for r in range(n_restarts)
             ]
+            init_families = [
+                fam_cycle[r % len(fam_cycle)] for r in range(n_restarts)
+            ]
+        else:
+            init_families = ["random"] * n_restarts
 
         # Vectorized restart training (vmap over the restart axis — see
         # _fit_restarts_vectorized): the default whenever the run is plain
@@ -1613,8 +1621,17 @@ class VariationalGPSA:
                 )
             runs.sort(key=lambda t: t[0])
             _, best_r, best_params, best_losses, _ = runs[0]
+            self.multistart_winner_ = {
+                "restart": int(best_r),
+                "init_family": init_families[best_r],
+                "consistency": float(runs[0][0]),
+            }
             if verbose:
-                print(f"winner: restart {best_r}", flush=True)
+                print(
+                    f"winner: restart {best_r} "
+                    f"(init={init_families[best_r]})",
+                    flush=True,
+                )
             self.params = best_params
             self._commit_params_to_mesh()
             # The stashed Adam moments/RNG (if any) belong to a different
@@ -1674,11 +1691,16 @@ class VariationalGPSA:
             if not np.isfinite(score):
                 continue  # a diverged (NaN/inf) restart can never win
             if best is None or score < best[0]:
-                best = (score, params_r, losses)
+                best = (score, params_r, losses, r)
         if best is None:
             raise RuntimeError(
                 "fit_multistart: no restart produced a finite tail-mean loss"
             )
+        self.multistart_winner_ = {
+            "restart": int(best[3]),
+            "init_family": init_families[best[3]],
+            "tail_loss": float(best[0]),
+        }
         self.params = best[1]
         self._commit_params_to_mesh()
         # See the consistency branch: the stashed optimizer state belongs

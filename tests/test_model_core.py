@@ -912,6 +912,26 @@ def test_fit_multistart_init_families(two_view_data):
         m.fit_multistart(n_epochs=5, n_restarts=2, init="bogus")
 
 
+def test_fit_multistart_winner_metadata(two_view_data):
+    """fit_multistart records the winning restart's index and init family
+    (multistart_winner_) under both selection criteria."""
+    m = _tiny_model(two_view_data, fixed_view_idx=0, seed=0)
+    m.fit_multistart(n_epochs=30, n_restarts=3, S=2, verbose=False,
+                     init="mixed")
+    w = m.multistart_winner_
+    assert w is not None
+    assert 0 <= w["restart"] < 3
+    assert w["init_family"] == ["random", "prealign", "ot"][w["restart"]]
+    assert np.isfinite(w["consistency"])
+
+    m2 = _tiny_model(two_view_data, fixed_view_idx=0, seed=0)
+    m2.fit_multistart(n_epochs=30, n_restarts=2, S=2, verbose=False,
+                      select="loss")
+    w2 = m2.multistart_winner_
+    assert w2 is not None and w2["init_family"] == "random"
+    assert np.isfinite(w2["tail_loss"])
+
+
 def test_fit_multistart_init_sequential_path(two_view_data):
     """Affine-seeded inits also apply on the sequential (non-vectorized)
     restart path."""
